@@ -1,0 +1,79 @@
+"""Join operators.
+
+Reference (SURVEY.md §2.4):
+- ``PerformJoin.dataFrame`` — single column pair, operator param
+  ``eq|lt|lte|gt|gte`` → equi or theta join, any join type
+  (etl/src/main/scala/org/sparkline/etl/operators/PerformJoin.scala:32-58).
+- ``PerformJoin.dataFrameEx`` — arbitrary join expression, used for the
+  equi + time-theta attribution join (PerformJoin.scala:60-73; usage
+  AcmeDailyETL.scala:667-683).
+
+Scale notes (the part the reference never had to solve):
+- A *pure* theta join (no equi component) physically becomes a
+  broadcast-nested-loop — fine only when one side is tiny, so
+  ``perform_join`` broadcasts the right side for the theta operators when
+  asked. The attribution-style join keeps its equi keys in ``on`` so
+  Spark still plans a hash/sort-merge join and evaluates the range
+  residual post-match.
+- ``broadcast=True`` wraps the right side in a broadcast hint for small
+  dimensions; AQE may also convert at runtime.
+"""
+
+from __future__ import annotations
+
+import operator as _op
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_OPS = {
+    "eq": _op.eq,
+    "lt": _op.lt,
+    "lte": _op.le,
+    "gt": _op.gt,
+    "gte": _op.ge,
+}
+
+
+def perform_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    op: str = "eq",
+    how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Two-input join on one column pair with an ``eq|lt|lte|gt|gte``
+    comparison — the reference's PerformJoin.dataFrame with aliases
+    ``i1``/``i2`` (PerformJoin.scala:32-58).
+
+    Columns of the result can be disambiguated as ``i1.col`` / ``i2.col``.
+    """
+    l = left.alias("i1")
+    r = right.alias("i2")
+    if broadcast:
+        r = F.broadcast(r)
+    cond = _OPS[op](F.col(f"i1.{left_col}"), F.col(f"i2.{right_col}"))
+    return l.join(r, cond, how)
+
+
+def perform_join_ex(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Arbitrary join expression (aliases ``i1``/``i2``) — the reference's
+    PerformJoin.dataFrameEx (PerformJoin.scala:60-73).
+
+    For equi + range conditions (`i1.user == i2.user AND i1.t < i2.t`)
+    Catalyst extracts the equi keys for the shuffle and applies the range
+    part as a post-join residual — the scalable shape for attribution
+    joins (AcmeDailyETL.scala:667-683).
+    """
+    l = left.alias("i1")
+    r = right.alias("i2")
+    if broadcast:
+        r = F.broadcast(r)
+    return l.join(r, condition, how)

@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Defaults are chosen for the dual target: correctness tests on
+``local[N]`` and honest behavior at cluster scale. Everything that
+matters at 100 TB — AQE (skew-join splitting, partition coalescing),
+Arrow transfer for pandas UDFs, UTC session time — is on by default so
+test plans and cluster plans share a shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions ~= cores in local mode. On a real cluster this is
+# overridden by AQE's coalescing from a higher initial value.
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "audience_behavior_semantic_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` sets ``local[N]`` parallelism; shuffle partitions default to
+    the same N so a local run has no idle/empty shuffle tasks. On a real
+    cluster, pass ``extra_conf`` / spark-submit conf instead — nothing
+    here hard-codes local mode semantics.
+    """
+    n = cpus or _DEFAULT_CPUS
+    sp = shuffle_partitions or n
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
