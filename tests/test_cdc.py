@@ -1,0 +1,146 @@
+"""CDC engine tests: oracle equality, exactly-once resume, re-delivery
+no-op, cross-batch LWW, delete semantics, schema evolution.
+(SURVEY.md §5 upgrade: golden final-state equality computed two
+independent ways + idempotency/resume tests.)
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+from audience_behavior_semantic_etl_spark.cdc.demo import check_equal, table_to_pandas
+from audience_behavior_semantic_etl_spark.cdc.gen import (
+    GenConfig,
+    expected_final_state,
+    generate_change_log,
+    write_wal_chunks,
+)
+from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
+from audience_behavior_semantic_etl_spark.cdc.stream import run_wal_stream
+from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def small_log():
+    cfg = GenConfig(seed=42, n_convs=60)
+    log = generate_change_log(cfg)
+    return log, expected_final_state(log)
+
+
+def _envelope_df(spark, pdf: pd.DataFrame):
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+
+def test_full_replay_matches_oracle(spark, small_log, tmp_path):
+    log, oracle = small_log
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=4)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    run = run_wal_stream(spark, wal, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    assert run.error is None
+    check_equal(table_to_pandas(table), oracle)
+    # lineage: contiguous coverage, no overlaps in applied batches
+    lineage = table.lineage()
+    batch_ids = [l["batch_id"] for l in lineage]
+    assert batch_ids == sorted(set(batch_ids)), "duplicate/ooo batch commits"
+
+
+def test_kill_resume_converges(spark, small_log, tmp_path):
+    """Crash after the 1st table commit but before its checkpoint —
+    resume must re-deliver that batch, detect it in the snapshot,
+    no-op it, and converge to the oracle state."""
+    log, oracle = small_log
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=4)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    run1 = run_wal_stream(spark, wal, table, ckpt, max_files_per_trigger=1, fail_after_batches=1)
+    assert run1.error is not None, "crash should have propagated"
+    applied1 = [m for m in run1.metrics if not m.skipped]
+    assert len(applied1) == 1
+
+    run2 = run_wal_stream(spark, wal, table, ckpt, max_files_per_trigger=1)
+    assert run2.error is None
+    skipped = [m for m in run2.metrics if m.skipped]
+    assert len(skipped) == 1, "re-delivered batch must no-op exactly once"
+    check_equal(table_to_pandas(table), oracle)
+
+
+def test_redelivered_batch_is_noop(spark, tmp_path):
+    log = generate_change_log(GenConfig(seed=7, n_convs=20))
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    df = _envelope_df(spark, log)
+    m1 = apply_batch(df, table, batch_id=0)
+    v1 = table.manifest().version
+    m2 = apply_batch(df, table, batch_id=0)  # same batch id again
+    assert not m1.skipped and m2.skipped
+    assert table.manifest().version == v1, "no new snapshot for a no-op"
+
+
+def _mk_events(rows):
+    return pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "conv_id": "conv-x",
+                "turn_idx": 0,
+                "payload": json.dumps(
+                    {"role": "user", "text": text, "tool": None, "ts": "2025-01-01T00:00:00"}
+                )
+                if op != "delete"
+                else "{}",
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, op, text in rows
+        ]
+    )
+
+
+def test_cross_batch_stale_event_loses(spark, tmp_path):
+    """A stale event (lower lsn) arriving in a LATER batch must not
+    overwrite the newer applied row — table-side LWW via _lsn."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(10, "insert", "NEW")])), table, 0)
+    apply_batch(_envelope_df(spark, _mk_events([(5, "update", "STALE")])), table, 1)
+    got = table.read_final().toPandas()
+    assert list(got["text"]) == ["NEW"]
+
+
+def test_delete_beats_earlier_upserts_loses_to_later(spark, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_events([(1, "insert", "A"), (2, "delete", "")])), table, 0
+    )
+    assert table.read_final().count() == 0, "delete must beat earlier upsert"
+    apply_batch(_envelope_df(spark, _mk_events([(3, "insert", "B")])), table, 1)
+    got = table.read_final().toPandas()
+    assert list(got["text"]) == ["B"], "later insert must beat tombstone"
+
+
+def test_schema_evolution_adds_columns(spark, small_log, tmp_path):
+    log, oracle = small_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_envelope_df(spark, log), table, 0)
+    cols = [n for n, _ in table.manifest().columns]
+    assert "tool_name" in cols and "tool_latency_ms" in cols
+    got = table_to_pandas(table)
+    assert got["tool_name"].notna().any(), "v2 payloads must populate evolved columns"
+    check_equal(got, oracle)
+
+
+def test_canonicalization_is_applied(spark, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    messy = "café line  \r\nnext\x07"
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", messy)])), table, 0)
+    got = table.read_final().toPandas()
+    assert list(got["text"]) == ["café line\nnext"]
