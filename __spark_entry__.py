@@ -260,13 +260,311 @@ def q_conversion_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- training-data pipeline ops
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count / word len / stopword + punct ratios /
+    quality score / lang-ID heuristic / md5 fingerprint (operators.text)."""
+    from audience_behavior_semantic_etl_spark.operators.text import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs).select(
+        "doc_id", "n_tokens", "avg_word_len", "stopword_ratio", "punct_ratio",
+        "quality", "lang_pred", "fp",
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audience_behavior_semantic_etl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audience_behavior_semantic_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.1
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audience_behavior_semantic_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, n_bands=4, rows_per_band=2
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audience_behavior_semantic_etl_spark.operators.dedup import simhash_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_df(docs, "text", "doc_id", n_bits=16, out_col="simhash16")
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 (operators.similarity) for the
+    first 20 vectors as queries against the whole corpus."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk(qs, emb, "embedding", "vec_id", k=5)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audience_behavior_semantic_etl_spark.operators.dedup import embedding_cosine_dups
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return embedding_cosine_dups(emb, "embedding", "vec_id", threshold=0.5)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: synth media bytes -> mapInPandas feature
+    extraction (stub kernel; real Arrow transport)."""
+    from audience_behavior_semantic_etl_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(spark, docs, "text", "doc_id")
+    return extract_features(media).select("media_id", "kind", "n_bytes", "content_sha")
+
+
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from audience_behavior_semantic_etl_spark.operators.multimodal import (
+        frame_sample_plan,
+        synth_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(spark, docs, "text", "doc_id")
+    return frame_sample_plan(media, every_ms=1000)
+
+
+def q_cdc_lww_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge semantics over driver data: treat events as a change
+    log keyed by (user_id, event_id % 7) with 'error' as delete; final
+    state = LWW by lsn(=event_id), tombstones dropped — the engine's
+    merge kernel expressed over an oracle-visible table."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id"),
+        (F.col("event_id") % 7).cast("int").alias("slot"),
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.col("value"),
+    )
+    latest = drop_duplicate_rows_ordered(ev, ["user_id", "slot"], [F.col("lsn").desc()])
+    return latest.filter(F.col("op") != "delete").select(
+        "user_id", "slot", "lsn", F.col("value").alias("last_value")
+    )
+
+
+# ------------------------------------------------- wider relational coverage
+
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftOuter join (reference imports LeftOuter, AcmeDailyETL.scala:30)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = perform_join_ex(
+        cust, orders, F.col("i1.c_custkey") == F.col("i2.o_custkey"), how="left"
+    )
+    return j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti (the modern ops our MERGE uses; SURVEY §2.4)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    with_f = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_F").alias("status")
+    )
+    without_f = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_F").alias("status")
+    )
+    return with_f.unionByName(without_f)
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (free in modern Spark; absent in the reference, SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .rollup("yr", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "signup", "error", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            F.col("click").alias("n_click"),
+            F.col("purchase").alias("n_purchase"),
+            F.col("signup").alias("n_signup"),
+            F.col("error").alias("n_error"),
+            F.col("view").alias("n_view"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent in reference; SURVEY §2.10)."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(erroring).withColumn("segment", F.lit("buyer_and_error"))
+    clean = buyers.exceptAll(erroring).withColumn("segment", F.lit("buyer_only"))
+    return both.unionByName(clean)
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number (W1/W2 family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum frame (W7 family)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_rev"),
+    )
+
+
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gap (W4 — the sessionize input, Lag.scala:31-70)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(w)
+    return (
+        ev.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("gap"), 2).alias("avg_gap_sec"),
+            F.round(F.max("gap"), 2).alias("max_gap_sec"),
+            F.count("gap").alias("n_gaps"),
+        )
+    )
+
+
+def q_window_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENT ROW -> UNBOUNDED FOLLOWING frame — the reference's
+    sessions-to-goal counter (W6, AcmeDailyETL.scala:356-364)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.count(F.lit(1)).over(w) - 1).alias("events_remaining"),
+    )
+
+
+def q_ntile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile user ranking (W3, ETLExpressions.scala:275-282) on
+    the per-user aggregate (small input — the safe place for a global
+    window)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_user.withColumn(
+        "tile", F.ntile(5).over(Window.orderBy(F.col("n_events"), F.col("user_id")))
+    )
+
+
+def q_collect_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-path per user (W9 collect_list over window,
+    ETLExpressions.scala:156-170), emitted as a joined string."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.withColumn("path", F.concat_ws(">", F.collect_list("event_type").over(wf)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "path")
+    )
+
+
+def q_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 FlattenArrayField: pack lineitems into array<struct> per order,
+    explode back with prefixed columns, re-aggregate."""
+    from audience_behavior_semantic_etl_spark.operators.flatten import flatten_array_field
+
+    li = _t(spark, sf_dir, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice")).alias("items")
+    )
+    flat = flatten_array_field(packed, "items", prefix="it_")
+    return flat.groupBy("l_orderkey").agg(
+        F.count("it_l_linenumber").alias("n_items"),
+        F.round(F.sum("it_l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("it_l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def q_rename_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 RenameColumns with dotted nested paths (struct flattening,
+    RenameColumns.scala:34-71)."""
+    from audience_behavior_semantic_etl_spark.operators.projection import rename_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    nested = cust.select(
+        "c_custkey", F.struct(F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")).alias("info")
+    )
+    flat = rename_columns(
+        nested, {"info.name": "customer_name", "info.bal": "balance"}, remove_old_cols=True
+    )
+    return flat.select("c_custkey", "customer_name", "balance")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
         "q_filter_project": q_filter_project,
         "q_case_like_enrich": q_case_like_enrich,
         "q_join_equi_broadcast": q_join_equi_broadcast,
         "q_join_theta_attribution": q_join_theta_attribution,
+        "q_join_left_outer": q_join_left_outer,
+        "q_join_semi_anti": q_join_semi_anti,
         "q_dedup_lww": q_dedup_lww,
         "q_sessionize": q_sessionize,
         "q_date_parts": q_date_parts,
@@ -274,7 +572,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_parse_url": q_parse_url,
         "q_calc_percent": q_calc_percent,
         "q_conversion_two_level": q_conversion_two_level,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_set_ops": q_set_ops,
+        "q_window_topk_per_group": q_window_topk_per_group,
+        "q_window_running_sum": q_window_running_sum,
+        "q_window_lag_gap": q_window_lag_gap,
+        "q_window_remaining": q_window_remaining,
+        "q_ntile_users": q_ntile_users,
+        "q_collect_paths": q_collect_paths,
+        "q_flatten_roundtrip": q_flatten_roundtrip,
+        "q_rename_nested": q_rename_nested,
+        # CDC merge semantics (north_star kernel over oracle-visible data)
+        "q_cdc_lww_apply": q_cdc_lww_apply,
+        # training-data pipeline ops
+        "q_text_profile": q_text_profile,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_embedding_dups": q_embedding_dups,
+        "q_multimodal_features": q_multimodal_features,
+        "q_frame_sample_plan": q_frame_sample_plan,
     }
+
+
+# Shared DuckDB SQL fragments reproducing the PORTABLE tokenizer /
+# shingle / hash definitions (operators.text / operators.dedup).
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +'),
+                     x -> x <> '') AS toks
+  FROM documents
+)"""
+
+_SHINGLE_CTE = """
+sh AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+         ELSE [] END AS sh
+  FROM tok
+)"""
+
+
+def _minhash_sql(n_hashes: int) -> str:
+    """DuckDB reproduction of operators.dedup.minhash_signature: one
+    md5-derived 32-bit hash per shingle, then affine (a*h+b) mod p."""
+    from audience_behavior_semantic_etl_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _mh_params,
+    )
+
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_PRIME})) AS m{i}"
+        for i, (a, b) in enumerate(_mh_params(n_hashes))
+    )
+    return f"""SELECT doc_id, {mins} FROM (
+        SELECT doc_id,
+               list_transform(sh, x -> CAST(list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1) * 16**(8 - i))) AS BIGINT)) AS hs
+        FROM sh)"""
+
+
+def _stopword_list_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -352,8 +718,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sn
         """,
         "q_date_parts": """
-            SELECT EXTRACT(year FROM o_orderdate) AS sd_year,
-                   EXTRACT(month FROM o_orderdate) AS sd_month,
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS sd_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS sd_month,
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1, 2 ORDER BY 1, 2
@@ -384,5 +750,216 @@ def oracle_sql() -> dict[str, str]:
                          sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev,
                          count(*) AS n_events
                   FROM events GROUP BY user_id)
+        """,
+        "q_join_left_outer": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "q_join_semi_anti": """
+            SELECT c_custkey, 'has_F' AS status FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+            UNION ALL
+            SELECT c_custkey, 'no_F' AS status FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "q_rollup_revenue": """
+            SELECT CAST(coalesce(yr, -1) AS INTEGER) AS yr,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+            FROM (SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderpriority, o_totalprice
+                  FROM orders)
+            GROUP BY ROLLUP(yr, o_orderpriority)
+        """,
+        "q_pivot_event_types": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "q_set_ops": """
+            WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+                 err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+            SELECT user_id, 'buyer_and_error' AS segment
+            FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM err)
+            UNION ALL
+            SELECT user_id, 'buyer_only' AS segment
+            FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM err)
+        """,
+        "q_window_topk_per_group": """
+            SELECT l_suppkey, CAST(rk AS INTEGER) AS rk, l_orderkey, l_linenumber, l_extendedprice
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY l_suppkey
+                      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+                  FROM lineitem)
+            WHERE rk <= 3
+        """,
+        "q_window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_rev
+            FROM orders
+        """,
+        "q_window_lag_gap": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch(ts) - lag(epoch(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+            SELECT user_id, round(avg(gap), 2) AS avg_gap_sec,
+                   round(max(gap), 2) AS max_gap_sec, count(gap) AS n_gaps
+            FROM g GROUP BY user_id
+        """,
+        "q_window_remaining": """
+            SELECT user_id, event_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - 1
+                       AS events_remaining
+            FROM events
+        """,
+        "q_ntile_users": """
+            SELECT user_id, n_events,
+                   CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS INTEGER) AS tile
+            FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        """,
+        "q_collect_paths": """
+            SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        """,
+        "q_flatten_roundtrip": """
+            SELECT l_orderkey, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "q_rename_nested": """
+            SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance FROM customer
+        """,
+        "q_cdc_lww_apply": """
+            SELECT user_id, slot, lsn, value AS last_value
+            FROM (SELECT user_id, CAST(event_id % 7 AS INTEGER) AS slot,
+                         event_id AS lsn, value,
+                         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+                         row_number() OVER (PARTITION BY user_id, event_id % 7
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND op <> 'delete'
+        """,
+        "q_text_profile": f"""
+            WITH {_TOK_CTE},
+            m AS (
+              SELECT doc_id, text, toks,
+                     CAST(len(toks) AS INTEGER) AS n_tokens,
+                     round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 4) AS avg_word_len,
+                     round(CAST(len(list_filter(toks, x -> list_contains({_stopword_list_sql(['the','and','of','to','a','in','is','it','that','for'])}, x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 4) AS stopword_ratio,
+                     round(CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / greatest(len(text), 1), 4) AS punct_ratio,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(['the','and','of','to','a','in','is','it','that','for'])}, x))) AS s_en,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(['der','die','das','und','ist','nicht','ein','mit','auf','zu'])}, x))) AS s_de,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(['el','la','de','que','y','en','un','es','no','por'])}, x))) AS s_es,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(['le','la','de','et','un','est','pas','pour','que','dans'])}, x))) AS s_fr,
+                     md5(text) AS fp
+              FROM tok)
+            SELECT doc_id, n_tokens, avg_word_len, stopword_ratio, punct_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                         + (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10
+                                 THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality,
+                   CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred,
+                   fp
+            FROM m
+        """,
+        "q_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_dedup_ngram_jaccard": f"""
+            WITH {_TOK_CTE}, {_SHINGLE_CTE},
+            ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) AS jaccard
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) >= 0.1
+        """,
+        "q_dedup_minhash_lsh": f"""
+            WITH {_TOK_CTE}, {_SHINGLE_CTE},
+            sig AS ({_minhash_sql(8)}),
+            banded AS (
+              SELECT doc_id, unnest([
+                  '0|' || m0 || '|' || m1,
+                  '1|' || m2 || '|' || m3,
+                  '2|' || m4 || '|' || m5,
+                  '3|' || m6 || '|' || m7]) AS bk
+              FROM sig)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_hit
+            FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """,
+        "q_dedup_simhash": f"""
+            WITH {_TOK_CTE},
+            hv AS (
+              SELECT doc_id,
+                     list_transform(toks, x -> CAST(list_sum(list_transform(range(1, 9),
+                         i -> (strpos('0123456789abcdef', substr(md5(x), i, 1)) - 1) * 16**(8 - i))) AS BIGINT)) AS thv
+              FROM tok)
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 16), b ->
+                       CASE WHEN coalesce(list_sum(list_transform(thv, h ->
+                                CASE WHEN CAST(floor(h / 2**b) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+                            THEN 2**b ELSE 0 END)) AS BIGINT) AS simhash16
+            FROM hv
+        """,
+        "q_ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+              FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
+        "q_embedding_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 100)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
+        """,
+        "q_multimodal_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        "q_frame_sample_plan": """
+            WITH v AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+                              CAST(doc_id % 10 AS INTEGER) AS n_frames
+                       FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id, CAST(f * 1000 AS INTEGER) AS frame_ts_ms,
+                   'application/octet-stream' AS mime
+            FROM (SELECT media_id, unnest(range(0, greatest(n_frames, 1))) AS f FROM v)
         """,
     }

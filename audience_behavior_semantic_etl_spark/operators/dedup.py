@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design:
+- exact dedup is a single hash-aggregate on the md5 fingerprint —
+  map-side combined, one shuffle on a uniform key.
+- MinHash signatures are computed WITHOUT a UDF: higher-order
+  functions over the shingle array (transform + array_min) stay in
+  whole-stage codegen. LSH banding turns O(n²) similarity into a
+  self-join on band keys — the only shuffle is on band buckets, and
+  genuinely-duplicate-heavy buckets are exactly the pairs we want.
+- All hashes are md5-hex based: fixed-width lowercase hex strings
+  compare lexicographically == numerically, so `array_min` of hex
+  strings IS min-hash, and an independent SQL engine reproduces every
+  signature bit-for-bit (the DuckDB oracle does).
+- n-gram Jaccard (exact verification) is explode + self-join on
+  shingle → |∩| / |∪|; at scale it runs only on LSH candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from audience_behavior_semantic_etl_spark.operators.text import tokens
+
+
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from an ALREADY-MATERIALIZED tokens
+    array column.
+
+    ⚠ Performance contract: ``t`` must be a plain column reference, not
+    an inline ``tokens(text)`` expression — Catalyst inlines lambda-free
+    subexpressions into every element_at inside the transform, turning
+    shingling into O(n_tokens × tokenize_cost). Materialize tokens with
+    a select/withColumn first (see ngram_jaccard_pairs)."""
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", t))).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(sh)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Inline convenience form — fine for one-shot use; for anything
+    consumed repeatedly, materialize tokens first (see
+    shingles_from_tokens performance contract)."""
+    return shingles_from_tokens(tokens(text), k)
+
+
+def shingled(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, sh) with tokens materialized at a projection boundary so the
+    tokenizer runs once per row."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    return toks.select("id", shingles_from_tokens(F.col("toks"), k).alias("sh"))
+
+
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _mh_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine minhash parameters (a_i, b_i), both < 2^20
+    so a*h+b < 2^52 stays exact in int64 AND in the SQL oracle's
+    BIGINT."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+
+    return [
+        (1 + h32(f"mh-a-{i}") % (2**20 - 1), h32(f"mh-b-{i}") % (2**20))
+        for i in range(n_hashes)
+    ]
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """ONE md5 pass per shingle -> 32-bit long. The n-hash minhash
+    family is then cheap affine arithmetic over this array instead of
+    n md5 passes (the classic (a*h+b) mod p universal-hash
+    construction) — 16x less hashing at scale."""
+    return F.transform(sh, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+
+
+def minhash_signature(hs: Column, n_hashes: int = 16) -> Column:
+    """Array of n_hashes min-hash longs over an ALREADY-MATERIALIZED
+    shingle-hash array (see shingle_hashes; same materialization
+    contract as shingles_from_tokens — hs is referenced n_hashes
+    times)."""
+
+    def _affine(a: int, b: int):
+        def fn(h):
+            return (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+        return fn
+
+    sigs = [F.array_min(F.transform(hs, _affine(a, b))) for a, b in _mh_params(n_hashes)]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band keys: band id || concatenated signature slice. Docs sharing
+    any band key are candidate pairs."""
+    keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*keys)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy, keep the min id per content hash.
+    Returns (id, fp, n_copies) for survivors."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "fp", "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs ≥ threshold
+    (id_a < id_b). Explode distinct shingles → self-join on shingle →
+    |∩|; |∪| = |A|+|B|−|∩|. At 100 TB this runs ONLY on LSH candidate
+    buckets (see minhash_lsh_candidates); the full self-join form here
+    is the verification kernel and the small-scale oracle."""
+    # Materialize the shingle arrays BEFORE exploding. Two reasons:
+    # (1) sh feeds three consumers (explode for both join sides +
+    # sizes) and Spark re-evaluates duplicated expression subtrees;
+    # (2) Generate over an expensive projection degenerates to
+    # re-evaluating the projection per OUTPUT row (measured 0.45s from
+    # cache vs 31s without, at sf0.1) — the cache barrier under the
+    # explode is load-bearing, not an optimization.
+    sh_df = shingled(df, text_col, id_col, k).persist()
+    # join on a 64-bit hash of the shingle instead of the string: same
+    # |∩| counts absent xxhash64 collisions (~n²/2^64, negligible),
+    # much cheaper shuffle + hash-table probes.
+    ex = sh_df.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("s")
+    )
+    sizes = sh_df.select("id", F.size("sh").alias("sz"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash+LSH banding (id_a < id_b,
+    with the count of bands in which they collide). The scale path:
+    shuffle only on band keys; exact Jaccard verification then runs on
+    this (tiny) candidate set instead of all n² pairs."""
+    hs = shingled(df, text_col, id_col, k).select(
+        "id", shingle_hashes(F.col("sh")).alias("hs")
+    )
+    sig = hs.select("id", minhash_signature(F.col("hs"), n_bands * rows_per_band).alias("sig"))
+    banded = sig.select("id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+
+
+def simhash_bits_from_hashes(hv: Column, n_bits: int = 16) -> Column:
+    """SimHash from an ALREADY-MATERIALIZED array of token-hash longs:
+    per bit b, sum (+1/-1) of token-hash bit b; bit set iff sum >= 0
+    (empty docs hash to all-ones by this convention, deliberately
+    stable). Same materialization contract as shingles_from_tokens —
+    hv is referenced n_bits times."""
+    def _bit_contrib(b: int):
+        # closure factory: PySpark materializes lambda params positionally,
+        # so a `b=b` default would become a third lambda variable.
+        def merge(acc, h):
+            return acc + F.when(
+                (F.floor(h / F.lit(float(2**b))) % 2) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bits = []
+    for b in range(n_bits):
+        contrib = F.aggregate(hv, F.lit(0).cast("long"), _bit_contrib(b))
+        bits.append(F.when(contrib >= 0, F.lit(2**b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out.cast("long")
+
+
+def token_hashes(t: Column) -> Column:
+    """Portable token hash: first 8 hex chars of md5 as a long (the SQL
+    oracle reproduces it with strpos arithmetic)."""
+    return F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"))
+
+
+def simhash(text: Column | str, n_bits: int = 16) -> Column:
+    """Inline convenience form — duplicates the tokenizer subtree per
+    bit; use simhash_df for anything larger than a lookup table."""
+    return simhash_bits_from_hashes(token_hashes(tokens(text)), n_bits)
+
+
+def simhash_df(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 16, out_col: str = "simhash"
+) -> DataFrame:
+    """(id_col, simhash) with tokens and token-hashes materialized at
+    projection boundaries so each runs once per row."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    hv = toks.select(F.col(id_col), token_hashes(F.col("__toks")).alias("__thv"))
+    return hv.select(
+        F.col(id_col), simhash_bits_from_hashes(F.col("__thv"), n_bits).alias(out_col)
+    )
+
+
+def embedding_cosine_dups(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, id_a < id_b.
+    Brute-force kernel (all-pairs) — at scale, bucket by an LSH of the
+    vector (see operators.similarity) and run this within buckets."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
