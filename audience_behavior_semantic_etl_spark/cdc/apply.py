@@ -1,5 +1,5 @@
-"""Per-batch apply: normalize -> LWW dedup -> salted repartition ->
-merge -> snapshot commit.
+"""Per-batch apply: normalize -> fused LWW merge -> salted bucket
+rewrite -> snapshot commit.
 
 This is the engine's core, the modern re-expression of the reference's
 operator chain (SURVEY.md §7.1):
@@ -8,22 +8,30 @@ operator chain (SURVEY.md §7.1):
   as ONE Arrow-vectorized ``mapInPandas`` stage: JSON after-image ->
   typed columns of the (possibly just-evolved) target schema, with
   text canonicalization. No per-row Python UDFs.
-- LWW dedup        ≈ DropDuplicateRows (§2.5 A3) made deterministic with
-  row_number over (lsn desc, ts desc) (§2.6 W1).
+- LWW merge        ≈ DropDuplicateRows (§2.5 A3) made deterministic with
+  row_number over lsn desc (§2.6 W1), FUSED with the merge: one window
+  over union(normalized batch, existing rows of affected buckets)
+  resolves in-batch duplicates, cross-batch staleness, and tombstones
+  in a single shuffle.
 - salted repartition ≈ the reference's explicit RepartitionByExpression
   before its stateful op (Sessionize.scala:103), plus the hot-key
   splitting the north_rule demands (SURVEY.md §4.2).
-- merge            ≈ Iceberg MERGE INTO, implemented as
-  union(existing-in-affected-buckets, batch winners) -> keep max-_lsn
-  row per key -> drop tombstones -> rewrite ONLY the affected buckets.
 - exactly-once     : batch id + per-source-part LSN watermarks ride the
   snapshot commit; re-delivered batches no-op.
+
+Per-batch Spark-job budget (scale discipline — each job is a full
+batch scan at 10^10 events):
+  1. per-source-part stats agg  (counts, lsn range, watermarks,
+     schema_change detection)                              [1 scan]
+  2. (rare) schema_change payload collect                  [tiny]
+  3. hot-key census + affected-bucket census               [2 small aggs]
+  4. the merge write itself, with all row metrics attached via
+     the Observation API — no post-hoc count() jobs        [1 scan + merge]
 """
 
 from __future__ import annotations
 
 import json
-import os
 import tempfile
 import time
 import uuid
@@ -31,7 +39,7 @@ from dataclasses import dataclass
 from typing import Any, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.sql import types as T
 
 from audience_behavior_semantic_etl_spark.cdc import schema as S
@@ -115,27 +123,11 @@ def make_normalizer(out_schema: T.StructType):
 
 
 def lww_dedup(events: DataFrame) -> DataFrame:
-    """Deterministic last-writer-wins within the batch: one survivor per
-    (conv_id, turn_idx) by (lsn desc). lsn is a total order (re-delivered
-    duplicates carry the SAME lsn and identical content, so any survivor
-    among equals is identical)."""
+    """Deterministic last-writer-wins within a DataFrame: one survivor
+    per (conv_id, turn_idx) by (lsn desc). Exposed for direct use; the
+    batch apply fuses this window with the merge."""
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").desc())
     return events.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-
-
-def hot_key_census(events: DataFrame, threshold: int) -> list[str]:
-    """Per-batch census of conversations whose event count exceeds the
-    threshold — the explicit skew handling the north_rule demands. The
-    census is a small aggregate (distinct hot keys only) collected to
-    the driver and broadcast back as a literal filter."""
-    hot = (
-        events.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > threshold)
-        .select("conv_id")
-        .collect()
-    )
-    return [r["conv_id"] for r in hot]
 
 
 @dataclass
@@ -167,24 +159,21 @@ def apply_batch(
     if table.is_batch_committed(cfg.app_id, batch_id):
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, 0.0, -1, -1, skipped=True)
 
-    # -- schema_change events first (tiny; driver-side) ------------------
-    sc_rows = events_raw.filter(F.col("op") == "schema_change").select("payload").collect()
-    for r in sc_rows:
-        ddl = json.loads(r["payload"])
-        add = ddl.get("add_columns", {})
-        if add:
-            table.add_columns(add)
-
-    data = events_raw.filter(F.col("op") != "schema_change")
-
-    # -- stats needed for lineage (one pass, cheap aggregate) ------------
-    stats = data.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("lsn").alias("lsn_min"),
-        F.max("lsn").alias("lsn_max"),
-    ).collect()[0]
-    n_events = stats["n"] or 0
-    if n_events == 0:
+    # -- job 1: per-source-part stats (counts, lsn range, watermarks,
+    #    schema_change presence) in ONE batch scan ------------------------
+    part_stats = (
+        events_raw.groupBy("source_part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lsn_min"),
+            F.max("lsn").alias("lsn_max"),
+            F.sum(F.when(F.col("op") == "schema_change", 1).otherwise(0)).alias("n_sc"),
+        )
+        .collect()
+    )
+    n_events = sum(r["n"] for r in part_stats)
+    n_sc = sum(r["n_sc"] for r in part_stats)
+    if n_events - n_sc == 0 and n_sc == 0:
         snapshot = table.commit_merged_buckets(
             staged_dir=tempfile.mkdtemp(prefix="empty"),
             affected_buckets=[],
@@ -194,61 +183,78 @@ def apply_batch(
             lineage_row={"batch_id": batch_id, "rows": 0},
         )
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, time.perf_counter() - t0, -1, -1, snapshot)
+    watermarks = {str(r["source_part"]): int(r["lsn_max"]) for r in part_stats}
+    lsn_min = min(r["lsn_min"] for r in part_stats)
+    lsn_max = max(r["lsn_max"] for r in part_stats)
 
-    # -- normalize (Arrow) + in-batch LWW --------------------------------
-    out_schema = normalized_schema(table)
-    normalized = data.mapInPandas(make_normalizer(out_schema), schema=out_schema)
+    # -- job 2 (rare): schema_change DDL ----------------------------------
+    if n_sc > 0:
+        for r in events_raw.filter(F.col("op") == "schema_change").select("payload").collect():
+            add = json.loads(r["payload"]).get("add_columns", {})
+            if add:
+                table.add_columns(add)
 
-    # per-source-part watermarks for lineage/idempotency
-    wm_rows = data.groupBy("source_part").agg(F.max("lsn").alias("wm")).collect()
-    watermarks = {str(r["source_part"]): int(r["wm"]) for r in wm_rows}
-
-    winners = lww_dedup(normalized)
-
-    # -- skew: census + salt --------------------------------------------
-    hot = hot_key_census(data, cfg.hot_key_threshold)
     m = table.manifest()
-    winners = winners.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
-    if hot:
-        salt = F.when(
-            F.col("conv_id").isin(hot), F.pmod(F.col("turn_idx"), F.lit(cfg.n_salts))
-        ).otherwise(F.lit(0))
-    else:
-        salt = F.lit(0)
-    winners = winners.withColumn("__salt", salt)
+    data = events_raw.filter(F.col("op") != "schema_change").withColumn(
+        "__bucket", bucket_expr(F.col("conv_id"), m.n_buckets)
+    )
+    n_data = n_events - n_sc
 
-    affected = [r["__bucket"] for r in winners.select("__bucket").distinct().collect()]
+    # -- job 3: hot-key census + affected buckets (two SMALL aggregates;
+    #    outputs are bounded by #hot keys and n_buckets, never batch size)
+    hot = [
+        r["conv_id"]
+        for r in data.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cfg.hot_key_threshold)
+        .collect()
+    ]
+    affected = [int(r["__bucket"]) for r in data.select("__bucket").distinct().collect()]
 
-    # -- merge: union existing rows of affected buckets, keep max-lsn ----
+    # -- normalize (Arrow) ------------------------------------------------
+    out_schema = normalized_schema(table)
+    normalized = data.drop("__bucket").mapInPandas(make_normalizer(out_schema), schema=out_schema)
+
+    # -- fused LWW merge: ONE window over union(batch, existing) ----------
     table_cols = [n for n, _ in m.columns]
-    existing = table.read(buckets=affected).withColumn("op", F.lit("existing"))
-    batch_proj = winners.select(
+    batch_proj = normalized.select(
         *table_cols,
         F.col("lsn").alias(S.LSN_META_COL),
         "op",
-        "__bucket",
-        "__salt",
     )
-    existing_proj = existing.select(
-        *table_cols,
-        S.LSN_META_COL,
-        "op",
-        bucket_expr(F.col("conv_id"), m.n_buckets).alias("__bucket"),
-        F.lit(0).alias("__salt"),
+    existing_proj = table.read(buckets=affected).select(
+        *table_cols, S.LSN_META_COL, F.lit("existing").alias("op")
     )
     combined = batch_proj.unionByName(existing_proj)
     # prefer existing on _lsn ties (re-delivered event == applied row)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.col(S.LSN_META_COL).desc(), F.when(F.col("op") == "existing", 0).otherwise(1)
     )
-    final_rows = (
-        combined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(F.col("op") != "delete")
-        .drop("__rn", "op")
-    )
+    winners = combined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
 
-    # -- stage affected buckets ------------------------------------------
+    metric_exprs = [
+        F.coalesce(
+            F.sum(F.when(F.col("op").isin("insert", "update"), 1).otherwise(0)), F.lit(0)
+        ).alias("upserts"),
+        F.coalesce(F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)), F.lit(0)).alias(
+            "deletes"
+        ),
+        F.count(F.lit(1)).alias("survivors"),
+    ]
+    obs = Observation(f"merge-{batch_id}-{uuid.uuid4().hex[:8]}")
+    winners = winners.observe(obs, *metric_exprs)
+    final_rows = winners.filter(F.col("op") != "delete").drop("__rn", "op")
+
+    # -- salted repartition + staged bucket write -------------------------
+    final_rows = final_rows.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
+    if hot:
+        salt = F.when(
+            F.col("conv_id").isin(hot), F.pmod(F.col("turn_idx"), F.lit(cfg.n_salts))
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.lit(0)
+    final_rows = final_rows.withColumn("__salt", salt)
+
     staged = tempfile.mkdtemp(prefix=f"stage-{uuid.uuid4().hex}-")
     shuffle_n = cfg.shuffle_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -260,10 +266,16 @@ def apply_batch(
         .partitionBy("__bucket")
         .parquet(staged)
     )
-
-    # -- counts for metrics (from the staged write's own lineage) --------
-    n_winners = winners.count()
-    n_deletes = winners.filter(F.col("op") == "delete").count()
+    # Metrics ride the write action via CollectMetrics — no extra job in
+    # the common case. When AQE's empty-relation propagation eliminates
+    # the whole merge subtree (a batch whose only survivors are
+    # tombstones writes zero rows), the metrics row is lost and .get
+    # raises — recompute with one tiny job (the plan is deterministic,
+    # and this path only fires on near-empty outputs).
+    try:
+        row_metrics = obs.get
+    except Exception:
+        row_metrics = winners.agg(*metric_exprs).collect()[0].asDict()
 
     snapshot = table.commit_merged_buckets(
         staged_dir=staged,
@@ -273,24 +285,25 @@ def apply_batch(
         watermarks=watermarks,
         lineage_row={
             "batch_id": batch_id,
-            "rows": int(n_events),
-            "upserts": int(n_winners - n_deletes),
-            "deletes": int(n_deletes),
-            "lsn_min": int(stats["lsn_min"]),
-            "lsn_max": int(stats["lsn_max"]),
+            "rows": int(n_data),
+            "upserts": int(row_metrics["upserts"] or 0),
+            "deletes": int(row_metrics["deletes"] or 0),
+            "lsn_min": int(lsn_min),
+            "lsn_max": int(lsn_max),
             "hot_keys": len(hot),
         },
     )
     secs = time.perf_counter() - t0
+    batch_winners = int(row_metrics["upserts"] or 0) + int(row_metrics["deletes"] or 0)
     return BatchMetrics(
         batch_id=batch_id,
-        events=int(n_events),
-        upserts=int(n_winners - n_deletes),
-        deletes=int(n_deletes),
-        dedup_dropped=int(n_events - n_winners),
+        events=int(n_data),
+        upserts=int(row_metrics["upserts"] or 0),
+        deletes=int(row_metrics["deletes"] or 0),
+        dedup_dropped=int(n_data - batch_winners),
         hot_keys=len(hot),
         seconds=secs,
-        lsn_min=int(stats["lsn_min"]),
-        lsn_max=int(stats["lsn_max"]),
+        lsn_min=int(lsn_min),
+        lsn_max=int(lsn_max),
         snapshot_id=snapshot,
     )
