@@ -88,19 +88,34 @@ def shingle_hashes(sh: Column) -> Column:
 
 
 def minhash_signature(hs: Column, n_hashes: int = 16) -> Column:
-    """Array of n_hashes min-hash longs over an ALREADY-MATERIALIZED
-    shingle-hash array (see shingle_hashes; same materialization
-    contract as shingles_from_tokens — hs is referenced n_hashes
-    times)."""
+    """Array of n_hashes min-hash longs over a shingle-hash array.
 
-    def _affine(a: int, b: int):
-        def fn(h):
-            return (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+    Single-pass: ``hs`` is referenced exactly ONCE. One aggregate walks
+    the array carrying all n mins in an array accumulator, so however
+    expensive the expression producing ``hs`` is (an md5 transform),
+    it is evaluated once per row — NOT once per hash function, which is
+    what the naive ``array(array_min(transform(hs,...)) * n)`` form
+    degenerates to when Catalyst fuses projections (measured 17s → ~1s
+    on the LSH query at sf0.01). Empty input yields all-null signature
+    (min can never equal MINHASH_PRIME, so the sentinel is unambiguous).
+    """
+    params = _mh_params(n_hashes)
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * n_hashes)
 
-        return fn
+    def _merge(acc, h):
+        return F.zip_with(
+            acc,
+            F.array(*[(h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in params]),
+            lambda p, q: F.least(p, q),
+        )
 
-    sigs = [F.array_min(F.transform(hs, _affine(a, b))) for a, b in _mh_params(n_hashes)]
-    return F.array(*sigs)
+    def _finish(acc):
+        return F.transform(
+            acc,
+            lambda v: F.when(v == F.lit(MINHASH_PRIME), F.lit(None).cast("long")).otherwise(v),
+        )
+
+    return F.aggregate(hs, init, _merge, _finish)
 
 
 def lsh_band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
@@ -192,7 +207,11 @@ def minhash_lsh_candidates(
         "id", shingle_hashes(F.col("sh")).alias("hs")
     )
     sig = hs.select("id", minhash_signature(F.col("hs"), n_bands * rows_per_band).alias("sig"))
-    banded = sig.select("id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk"))
+    # Persist the (small) banded keys: the self-join consumes them twice,
+    # and without the barrier each side re-runs tokenize+shingle+md5.
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -203,29 +222,33 @@ def minhash_lsh_candidates(
 
 
 def simhash_bits_from_hashes(hv: Column, n_bits: int = 16) -> Column:
-    """SimHash from an ALREADY-MATERIALIZED array of token-hash longs:
-    per bit b, sum (+1/-1) of token-hash bit b; bit set iff sum >= 0
-    (empty docs hash to all-ones by this convention, deliberately
-    stable). Same materialization contract as shingles_from_tokens —
-    hv is referenced n_bits times."""
-    def _bit_contrib(b: int):
-        # closure factory: PySpark materializes lambda params positionally,
-        # so a `b=b` default would become a third lambda variable.
-        def merge(acc, h):
-            return acc + F.when(
-                (F.floor(h / F.lit(float(2**b))) % 2) == 1, 1
-            ).otherwise(-1)
+    """SimHash from an array of token-hash longs: per bit b, sum
+    (+1/-1) of token-hash bit b; bit set iff sum >= 0 (empty docs hash
+    to all-ones by this convention, deliberately stable).
 
-        return merge
+    Single-pass: ``hv`` is referenced exactly ONCE — one aggregate
+    carries all n_bits counters in an array accumulator and folds the
+    counters to the final long in the finish lambda. The per-bit
+    aggregate form re-evaluates the expression producing ``hv`` (an md5
+    transform) n_bits times once Catalyst fuses projections."""
+    init = F.array(*[F.lit(0).cast("long")] * n_bits)
 
-    bits = []
-    for b in range(n_bits):
-        contrib = F.aggregate(hv, F.lit(0).cast("long"), _bit_contrib(b))
-        bits.append(F.when(contrib >= 0, F.lit(2**b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
-    return out.cast("long")
+    def _merge(acc, h):
+        return F.array(
+            *[
+                F.element_at(acc, b + 1)
+                + F.when((F.floor(h / F.lit(float(2**b))) % 2) == 1, 1).otherwise(-1)
+                for b in range(n_bits)
+            ]
+        )
+
+    def _finish(acc):
+        out = F.lit(0).cast("long")
+        for b in range(n_bits):
+            out = out + F.when(F.element_at(acc, b + 1) >= 0, F.lit(2**b)).otherwise(F.lit(0))
+        return out
+
+    return F.aggregate(hv, init, _merge, _finish)
 
 
 def token_hashes(t: Column) -> Column:
