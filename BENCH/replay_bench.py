@@ -1,0 +1,171 @@
+"""CDC replay throughput bench — ONE parallelism level per process.
+
+Replays a deterministic WAL (generated once, cached on disk, shared
+byte-identical across parallelism levels) into a fresh snapshot table
+via the real streaming surface (readStream -> foreachBatch ->
+apply_batch) and reports events/sec.
+
+The driver-sanctioned proxy for the north_rule's "N vs 4N executors"
+criterion is the same job at local[8] vs local[32] on the same input
+(see BASELINE.md); BENCH/scaling.py orchestrates the two levels as
+separate processes so each gets a fresh JVM.
+
+Usage:
+    python BENCH/replay_bench.py --cpus 8 --convs 12000
+Prints one JSON line:
+    {"cpus": 8, "events": N, "secs": S, "events_per_sec": R, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WAL_CHUNKS = 256
+FILES_PER_TRIGGER = 64  # -> 4 micro-batches over the full log
+
+
+def wal_cache_dir(seed: int, convs: int) -> str:
+    key = hashlib.md5(f"v2|{seed}|{convs}|{WAL_CHUNKS}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"cdc-bench-wal-{key}")
+
+
+def ensure_wal(spark, seed: int, convs: int) -> tuple[str, int]:
+    """Generate the WAL once (distributed spark generator — see
+    cdc/gen_spark.py; its replay contract is pinned to the pandas
+    oracle by test_spark_generator_replay_matches_oracle); reuse the
+    cached files across runs and parallelism levels so both levels see
+    byte-identical input. Returns (wal_dir, n_events)."""
+    d = wal_cache_dir(seed, convs)
+    meta = d + ".meta.json"  # sibling: the WAL dir must stay pure parquet
+    if os.path.exists(meta) and os.path.isdir(d):
+        with open(meta) as f:
+            return d, json.load(f)["n_events"]
+    from audience_behavior_semantic_etl_spark.cdc.gen_spark import (
+        generate_change_log_spark,
+        write_wal_chunks_spark,
+    )
+
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    log = generate_change_log_spark(spark, seed=seed, n_convs=convs)
+    write_wal_chunks_spark(log, tmp, n_chunks=WAL_CHUNKS)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(d, ignore_errors=True)
+    os.rename(tmp, d)
+    with open(meta, "w") as f:
+        json.dump({"n_events": n, "seed": seed, "convs": convs}, f)
+    return d, n
+
+
+def duckdb_expected_keys(wal_dir: str) -> int:
+    """Independent (non-Spark) count of expected live keys after full
+    replay: global LWW by lsn, deletes drop the key."""
+    import duckdb
+
+    return duckdb.sql(
+        f"""
+        SELECT count(*) FROM (
+            SELECT conv_id, turn_idx, arg_max(op, lsn) AS last_op
+            FROM read_parquet('{wal_dir}/*.parquet')
+            WHERE op != 'schema_change'
+            GROUP BY conv_id, turn_idx
+        ) WHERE last_op != 'delete'
+        """
+    ).fetchone()[0]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--convs", type=int, default=120_000)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--check", action="store_true", help="duckdb key-set sanity check")
+    args = ap.parse_args()
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig
+    from audience_behavior_semantic_etl_spark.cdc.stream import run_wal_stream
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+    from audience_behavior_semantic_etl_spark.session import get_spark
+
+    # RAM-backed working storage when available: this sandbox's single
+    # ext4 disk throttles 32 concurrent writers via dirty-page writeback
+    # (measured: identical parquet write 6s vs 66s depending on page
+    # cache state), which would measure the DISK, not the engine. On a
+    # real cluster the table lives on HDFS/S3 and shuffle on per-node
+    # NVMe, so RAM-backing local mode is the honest analog. The WAL
+    # stays on disk (reads are page-cached, as a warm source would be).
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    extra = {"spark.local.dir": os.path.join(shm, "spark-local")}
+    # Heap scaled PER EXECUTOR THREAD (0.75g each, like fixed-size
+    # executors on a real cluster, where 4N executors bring 4x total
+    # heap). A single giant shared heap is actively harmful: G1 at 32
+    # threads on a 48g heap spent >25% of task time in GC (measured
+    # 252s GC in one stage), and batches slowed down run-over-run.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{max(6, (args.cpus * 3) // 4)}g")
+    # The Python-side normalize stage runs AFTER the bucket shuffle, so
+    # its parallelism is shuffle_partitions — input file layout does not
+    # gate the hot stage and no file-split tuning is needed here.
+    spark = get_spark(
+        app_name=f"cdc-replay-bench-{args.cpus}",
+        cpus=args.cpus,
+        shuffle_partitions=args.cpus,
+        extra_conf=extra,
+    )
+    work = tempfile.mkdtemp(prefix=f"cdc-bench-{args.cpus}-", dir=shm)
+    try:
+        wal, n_events = ensure_wal(spark, args.seed, args.convs)
+
+        # warm the JVM + python workers outside the timed window
+        spark.read.parquet(wal).limit(1000).mapInPandas(
+            lambda it: it, schema=spark.read.parquet(wal).schema
+        ).count()
+
+        table = SnapshotTable.create(spark, f"{work}/table", n_buckets=args.n_buckets)
+        os.system("sync")  # drain pending writeback from generation/warmup
+        t0 = time.perf_counter()
+        run = run_wal_stream(
+            spark,
+            wal,
+            table,
+            f"{work}/ckpt",
+            ApplyConfig(),
+            max_files_per_trigger=FILES_PER_TRIGGER,
+        )
+        secs = time.perf_counter() - t0
+        if run.error:
+            raise run.error
+        applied = sum(m.events for m in run.metrics if not m.skipped)
+        final_rows = table.read_final().count()
+        out = {
+            "cpus": args.cpus,
+            "events": int(applied),
+            "wal_events": int(n_events),
+            "final_rows": int(final_rows),
+            "batches": len([m for m in run.metrics if not m.skipped]),
+            "secs": round(secs, 3),
+            "events_per_sec": round(applied / secs, 1),
+            "batch_secs": [round(m.seconds, 3) for m in run.metrics],
+        }
+        if args.check:
+            expected = duckdb_expected_keys(wal)
+            out["expected_final_rows"] = int(expected)
+            out["check_ok"] = bool(expected == final_rows)
+        print(json.dumps(out))
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,18 +1,32 @@
-"""Per-batch apply: normalize -> fused LWW merge -> salted bucket
-rewrite -> snapshot commit.
+"""Per-batch apply: stats scan -> (adaptive in-batch LWW) -> salted
+bucket shuffle -> Arrow normalize -> delta append -> snapshot commit
+(+ amortized compaction).
 
 This is the engine's core, the modern re-expression of the reference's
 operator chain (SURVEY.md §7.1):
 
+- merge-on-read    : batch rows (tombstones included) are APPENDED as
+  per-bucket delta files — apply cost is O(batch), never O(table).
+  Cross-batch staleness, re-delivery, and delete-resurrection are all
+  resolved by the table's read-side LWW (max _lsn per key, tombstones
+  retained until their re-delivery horizon passes); buckets whose
+  delta-file count crosses a threshold are compacted, amortizing the
+  rewrite a copy-on-write MERGE would pay EVERY batch.
+- LWW dedup        ≈ DropDuplicateRows (§2.5 A3) made deterministic by
+  max-lsn-wins. ADAPTIVE: read-side LWW already collapses multiple
+  in-batch versions of a key, so the default path appends everything
+  with ONE shuffle; when the stats scan shows high churn
+  (events/key > dedup_churn_threshold), an in-batch
+  ``groupBy(key).agg(max_by(struct, lsn))`` pre-collapse pays for
+  itself by shrinking the normalize+write volume (a key with 10^6
+  in-batch updates ships one row per map partition thanks to partial
+  aggregation). The window form stays available as ``lww_dedup``.
 - normalize        ≈ reference flatten/rename/case/enrich (§2.2/2.8/2.9)
-  as ONE Arrow-vectorized ``mapInPandas`` stage: JSON after-image ->
-  typed columns of the (possibly just-evolved) target schema, with
-  text canonicalization. No per-row Python UDFs.
-- LWW merge        ≈ DropDuplicateRows (§2.5 A3) made deterministic with
-  row_number over lsn desc (§2.6 W1), FUSED with the merge: one window
-  over union(normalized batch, existing rows of affected buckets)
-  resolves in-batch duplicates, cross-batch staleness, and tombstones
-  in a single shuffle.
+  as ONE Arrow-vectorized ``mapInPandas`` stage placed AFTER the bucket
+  shuffle: JSON after-image -> typed columns of the (possibly
+  just-evolved) target schema, with text canonicalization. Post-shuffle
+  placement means its parallelism is shuffle_partitions, independent of
+  source file layout. No per-row Python UDFs.
 - salted repartition ≈ the reference's explicit RepartitionByExpression
   before its stateful op (Sessionize.scala:103), plus the hot-key
   splitting the north_rule demands (SURVEY.md §4.2).
@@ -21,22 +35,25 @@ operator chain (SURVEY.md §7.1):
 
 Per-batch Spark-job budget (scale discipline — each job is a full
 batch scan at 10^10 events):
-  1. per-source-part stats agg  (counts, lsn range, watermarks,
-     schema_change detection)                              [1 scan]
+  1. ONE column-pruned batch scan (lsn/op/keys only — payloads never
+     touch this job): groupBy(source_part, conv_id) stats, cached small
+     (≤ #conversations in the batch, never batch size); three tiny
+     follow-up jobs over the cached aggregate derive per-part lineage
+     stats + watermarks + churn, hot keys, and affected buckets.
   2. (rare) schema_change payload collect                  [tiny]
-  3. hot-key census + affected-bucket census               [2 small aggs]
-  4. the merge write itself, with all row metrics attached via
-     the Observation API — no post-hoc count() jobs        [1 scan + merge]
+  3. the append write itself (scan -> [optional dedup shuffle] ->
+     bucket shuffle -> normalize -> append), with row metrics attached
+     via the Observation API — no post-hoc count() jobs.
+  4. (amortized) compaction of over-threshold buckets.
 """
 
 from __future__ import annotations
 
 import json
-import tempfile
 import time
 import uuid
 from dataclasses import dataclass
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, Observation, Window, functions as F
@@ -46,9 +63,6 @@ from audience_behavior_semantic_etl_spark.cdc import schema as S
 from audience_behavior_semantic_etl_spark.cdc.normalize import canonical_text
 from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable, bucket_expr
 
-# Columns every normalized event carries in addition to payload fields.
-_ENVELOPE_KEEP = ["lsn", "op", "conv_id", "turn_idx", "source_part"]
-
 
 @dataclass
 class ApplyConfig:
@@ -56,40 +70,46 @@ class ApplyConfig:
     hot_key_threshold: int = 1000  # events per conv_id per batch
     n_salts: int = 8
     shuffle_partitions: int | None = None  # default: session setting
+    compact_max_files: int = 8  # per-bucket delta files before compaction
+    auto_compact: bool = True
+    # in-batch pre-collapse engages when batch events/key exceeds this
+    # (read-side LWW makes it optional; it only pays off under churn)
+    dedup_churn_threshold: float = 4.0
 
 
-def normalized_schema(table: SnapshotTable) -> T.StructType:
-    fields = [
-        T.StructField("lsn", T.LongType()),
-        T.StructField("op", T.StringType()),
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("source_part", T.IntegerType()),
-    ]
-    for name, dt in [(n, S.type_from_name(t)) for n, t in table.manifest().columns]:
-        if name in ("conv_id", "turn_idx"):
-            continue  # key columns come from the envelope
-        fields.append(T.StructField(name, dt, True))
-    return T.StructType(fields)
+def winners_schema(table: SnapshotTable) -> T.StructType:
+    """Output schema of the normalizer: full (evolving) table row +
+    merge metadata (_lsn for read-side LWW, _deleted tombstones)."""
+    cols = [(n, S.type_from_name(t)) for n, t in table.manifest().columns]
+    return S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
 
 
-def make_normalizer(out_schema: T.StructType):
-    """Arrow-batched payload normalizer. The JSON after-image is parsed
-    and flattened (``tool_meta.name -> tool_name`` — the dotted-path
-    rename of the reference, RenameColumns.scala:54), text is
-    canonicalized, and every output column is cast to the target type.
-    Unknown payload fields are dropped; missing ones become null — this
-    is what makes v1 and v2 payloads land in one evolving schema.
+def make_winner_normalizer(out_schema: T.StructType, passthrough: tuple[str, ...] = ()):
+    """Arrow-batched envelope normalizer.
+
+    Upsert rows get their JSON after-image parsed and flattened
+    (``tool_meta.name -> tool_name`` — the dotted-path rename of the
+    reference, RenameColumns.scala:54), text canonicalized, and every
+    output column cast to the target type. Unknown payload fields are
+    dropped; missing ones become null — this is what makes v1 and v2
+    payloads land in one evolving schema. Delete rows become tombstones
+    (keys + _lsn + _deleted, typed columns null).
     """
-    payload_cols = [f.name for f in out_schema.fields if f.name not in _ENVELOPE_KEEP]
+    key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL}
+    payload_cols = [f.name for f in out_schema.fields if f.name not in key_meta]
 
     def normalize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             n = len(pdf)
-            out: dict[str, Any] = {c: pdf[c].to_numpy() for c in _ENVELOPE_KEEP}
-            cols: dict[str, list] = {c: [None] * n for c in payload_cols}
-            payloads = pdf["payload"].to_numpy()
             ops = pdf["op"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            out = {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                S.LSN_META_COL: pdf["lsn"],
+                S.DELETED_META_COL: pd.Series(ops == "delete", index=pdf.index),
+            }
+            cols: dict[str, list] = {c: [None] * n for c in payload_cols}
             for i in range(n):
                 if ops[i] == "delete" or payloads[i] is None:
                     continue
@@ -106,26 +126,26 @@ def make_normalizer(out_schema: T.StructType):
                 for k in list(flat):
                     if k.startswith("tool_meta_"):
                         flat["tool_" + k[len("tool_meta_"):]] = flat.pop(k)
+                if "text" in flat and flat["text"] is not None:
+                    flat["text"] = canonical_text(flat["text"])
                 for c in payload_cols:
-                    if c in flat:
-                        cols[c][i] = flat[c]
-            res = pd.DataFrame({**out, **{c: cols[c] for c in payload_cols}})
-            if "text" in res:
-                res["text"] = res["text"].map(canonical_text, na_action="ignore")
+                    cols[c][i] = flat.get(c)
+            res = pd.DataFrame({**out, **cols, **{c: pdf[c] for c in passthrough}})
             for f_ in out_schema.fields:
-                if f_.name in ("ts",) and f_.name in res:
+                if isinstance(f_.dataType, T.TimestampNTZType) and f_.name in payload_cols:
                     res[f_.name] = pd.to_datetime(res[f_.name], format="ISO8601")
                 elif isinstance(f_.dataType, T.LongType) and f_.name in payload_cols:
                     res[f_.name] = pd.to_numeric(res[f_.name]).astype("Int64")
-            yield res[[f.name for f in out_schema.fields]]
+            yield res[[f.name for f in out_schema.fields] + list(passthrough)]
 
     return normalize
 
 
 def lww_dedup(events: DataFrame) -> DataFrame:
     """Deterministic last-writer-wins within a DataFrame: one survivor
-    per (conv_id, turn_idx) by (lsn desc). Exposed for direct use; the
-    batch apply fuses this window with the merge."""
+    per (conv_id, turn_idx) by (lsn desc). Window form, exposed for
+    direct use; the batch apply uses the equivalent max_by aggregate
+    (partial-aggregation-friendly) when churn warrants it."""
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("lsn").desc())
     return events.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
@@ -143,6 +163,8 @@ class BatchMetrics:
     lsn_max: int
     snapshot_id: str | None = None
     skipped: bool = False
+    compacted_buckets: int = 0
+    deduped: bool = False
 
 
 def apply_batch(
@@ -159,151 +181,207 @@ def apply_batch(
     if table.is_batch_committed(cfg.app_id, batch_id):
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, 0.0, -1, -1, skipped=True)
 
-    # -- job 1: per-source-part stats (counts, lsn range, watermarks,
-    #    schema_change presence) in ONE batch scan ------------------------
-    part_stats = (
-        events_raw.groupBy("source_part")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lsn_min"),
-            F.max("lsn").alias("lsn_max"),
-            F.sum(F.when(F.col("op") == "schema_change", 1).otherwise(0)).alias("n_sc"),
+    # SPOOL the batch to columnar parquet once, and run every job off
+    # the spool. Two reasons, both measured:
+    # (1) in streaming mode the source hands foreachBatch a ROW-BASED
+    #     ExistingRDD — no vectorization, no column pruning, recomputed
+    #     for EVERY job on the batch;
+    # (2) .persist() of row data collapses under high task concurrency
+    #     (MemoryStore contention: cache build of a 13M-row batch was
+    #     15s at 8 threads, 107s at 32). A columnar spool write scales,
+    #     and the stats job then reads only the 4 small columns it
+    #     needs. On a real cluster the spool is the bronze/raw staging
+    #     layer every CDC pipeline keeps anyway.
+    import shutil as _shutil
+
+    spool = table.new_staging_dir()
+    events_raw.write.mode("overwrite").parquet(spool)
+    events_raw = spark.read.schema(S.ENVELOPE_SCHEMA).parquet(spool)
+    stats = None
+    try:
+        # -- job 1: ONE column-pruned batch scan -> per-(source_part,
+        #    conv_id) stats. The aggregate is bounded by #conversations
+        #    in the batch; everything else derives from it cheaply.
+        stats = (
+            events_raw.groupBy("source_part", "conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("lsn").alias("lsn_min"),
+                F.max("lsn").alias("lsn_max"),
+                F.sum(F.when(F.col("op") == "schema_change", 1).otherwise(0)).alias("n_sc"),
+                F.approx_count_distinct("turn_idx").alias("n_keys"),
+            )
+            .persist()
         )
-        .collect()
-    )
-    n_events = sum(r["n"] for r in part_stats)
-    n_sc = sum(r["n_sc"] for r in part_stats)
-    if n_events - n_sc == 0 and n_sc == 0:
-        snapshot = table.commit_merged_buckets(
-            staged_dir=tempfile.mkdtemp(prefix="empty"),
-            affected_buckets=[],
+        part_stats = (
+            stats.groupBy("source_part")
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("lsn_min").alias("lsn_min"),
+                F.max("lsn_max").alias("lsn_max"),
+                F.sum("n_sc").alias("n_sc"),
+                F.sum("n_keys").alias("n_keys"),
+            )
+            .collect()
+        )
+        n_events = sum(r["n"] for r in part_stats)
+        n_sc = sum(r["n_sc"] for r in part_stats)
+        if n_events == 0:
+            snapshot = table.commit_append_deltas(
+                staged_dir=None,
+                affected_buckets=[],
+                app_id=cfg.app_id,
+                batch_id=batch_id,
+                watermarks={},
+                lineage_row={"batch_id": batch_id, "rows": 0},
+            )
+            return BatchMetrics(
+                batch_id, 0, 0, 0, 0, 0, time.perf_counter() - t0, -1, -1, snapshot
+            )
+        watermarks = {str(r["source_part"]): int(r["lsn_max"]) for r in part_stats}
+        lsn_min = min(r["lsn_min"] for r in part_stats)
+        lsn_max = max(r["lsn_max"] for r in part_stats)
+        n_data = n_events - n_sc
+        # approx distinct (conv, turn) keys in the batch (conv lives in
+        # exactly one source_part, so per-conv approx counts sum cleanly)
+        n_keys = max(1, sum(r["n_keys"] for r in part_stats))
+
+        # -- job 2 (rare): schema_change DDL ------------------------------
+        if n_sc > 0:
+            for r in (
+                events_raw.filter(F.col("op") == "schema_change").select("payload").collect()
+            ):
+                add = json.loads(r["payload"]).get("add_columns", {})
+                if add:
+                    table.add_columns(add)
+
+        m = table.manifest()
+        # hot keys + affected buckets in ONE small job over the cached
+        # stats: per-bucket row with the bucket's hot conv_ids embedded
+        # (output bounded by n_buckets + #hot keys, never batch size)
+        census = (
+            stats.filter(F.col("conv_id").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.sum("n").alias("n"))
+            .groupBy(bucket_expr(F.col("conv_id"), m.n_buckets).alias("__b"))
+            .agg(
+                F.collect_list(
+                    F.when(F.col("n") > cfg.hot_key_threshold, F.col("conv_id"))
+                ).alias("hot")
+            )
+            .collect()
+        )
+        affected = [int(r["__b"]) for r in census]
+        hot = [c for r in census for c in r["hot"]]
+
+        data = events_raw.filter(F.col("op") != "schema_change").select(
+            "conv_id", "turn_idx", "lsn", "op", "payload"
+        )
+
+        # -- adaptive in-batch pre-collapse (high churn only) -------------
+        deduped = n_data / n_keys > cfg.dedup_churn_threshold
+        if deduped:
+            data = (
+                data.groupBy("conv_id", "turn_idx")
+                .agg(F.max_by(F.struct("lsn", "op", "payload"), "lsn").alias("__w"))
+                .select("conv_id", "turn_idx", "__w.lsn", "__w.op", "__w.payload")
+            )
+
+        metric_exprs = [
+            F.coalesce(
+                F.sum(F.when(F.col("op").isin("insert", "update"), 1).otherwise(0)), F.lit(0)
+            ).alias("upserts"),
+            F.coalesce(F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)), F.lit(0)).alias(
+                "deletes"
+            ),
+            F.count(F.lit(1)).alias("written"),
+        ]
+        obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
+        data = data.observe(obs, *metric_exprs)
+
+        # -- ONE salted bucket shuffle, THEN Arrow normalize ---------------
+        # (normalize placed post-shuffle: parallelism = shuffle_n
+        # regardless of source layout; its output stays in-partition for
+        # the partitionBy write)
+        shuffle_n = cfg.shuffle_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        data = data.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
+        if hot:
+            salt = F.when(
+                F.col("conv_id").isin(hot), F.pmod(F.col("turn_idx"), F.lit(cfg.n_salts))
+            ).otherwise(F.lit(0))
+        else:
+            salt = F.lit(0)
+        data = data.withColumn("__salt", salt)
+        data = data.repartition(shuffle_n, "__bucket", "__salt").drop("__salt")
+
+        out_schema = winners_schema(table)
+        final_rows = data.mapInPandas(
+            make_winner_normalizer(out_schema, passthrough=("__bucket",)),
+            schema=T.StructType(out_schema.fields + [T.StructField("__bucket", T.IntegerType())]),
+        )
+
+        staged = table.new_staging_dir()
+        (
+            final_rows.sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staged)
+        )
+        # Metrics ride the write action via CollectMetrics — no extra job
+        # in the common case. When AQE's empty-relation propagation
+        # eliminates the whole subtree (empty batch data), the metrics
+        # row is lost and .get raises — recompute with one tiny job (the
+        # plan is deterministic; this only fires on near-empty outputs).
+        try:
+            row_metrics = obs.get
+        except Exception:
+            row_metrics = data.agg(*metric_exprs).collect()[0].asDict()
+
+        snapshot = table.commit_append_deltas(
+            staged_dir=staged,
+            affected_buckets=affected,
             app_id=cfg.app_id,
             batch_id=batch_id,
-            watermarks={},
-            lineage_row={"batch_id": batch_id, "rows": 0},
+            watermarks=watermarks,
+            lineage_row={
+                "batch_id": batch_id,
+                "rows": int(n_data),
+                "upserts": int(row_metrics["upserts"] or 0),
+                "deletes": int(row_metrics["deletes"] or 0),
+                "lsn_min": int(lsn_min),
+                "lsn_max": int(lsn_max),
+                "hot_keys": len(hot),
+                "deduped": bool(deduped),
+            },
         )
-        return BatchMetrics(batch_id, 0, 0, 0, 0, 0, time.perf_counter() - t0, -1, -1, snapshot)
-    watermarks = {str(r["source_part"]): int(r["lsn_max"]) for r in part_stats}
-    lsn_min = min(r["lsn_min"] for r in part_stats)
-    lsn_max = max(r["lsn_max"] for r in part_stats)
 
-    # -- job 2 (rare): schema_change DDL ----------------------------------
-    if n_sc > 0:
-        for r in events_raw.filter(F.col("op") == "schema_change").select("payload").collect():
-            add = json.loads(r["payload"]).get("add_columns", {})
-            if add:
-                table.add_columns(add)
+        # -- amortized compaction ------------------------------------------
+        compacted = 0
+        if cfg.auto_compact:
+            over = table.buckets_over_threshold(cfg.compact_max_files)
+            if over:
+                table.compact_buckets(over, shuffle_partitions=shuffle_n)
+                compacted = len(over)
 
-    m = table.manifest()
-    data = events_raw.filter(F.col("op") != "schema_change").withColumn(
-        "__bucket", bucket_expr(F.col("conv_id"), m.n_buckets)
-    )
-    n_data = n_events - n_sc
-
-    # -- job 3: hot-key census + affected buckets (two SMALL aggregates;
-    #    outputs are bounded by #hot keys and n_buckets, never batch size)
-    hot = [
-        r["conv_id"]
-        for r in data.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > cfg.hot_key_threshold)
-        .collect()
-    ]
-    affected = [int(r["__bucket"]) for r in data.select("__bucket").distinct().collect()]
-
-    # -- normalize (Arrow) ------------------------------------------------
-    out_schema = normalized_schema(table)
-    normalized = data.drop("__bucket").mapInPandas(make_normalizer(out_schema), schema=out_schema)
-
-    # -- fused LWW merge: ONE window over union(batch, existing) ----------
-    table_cols = [n for n, _ in m.columns]
-    batch_proj = normalized.select(
-        *table_cols,
-        F.col("lsn").alias(S.LSN_META_COL),
-        "op",
-    )
-    existing_proj = table.read(buckets=affected).select(
-        *table_cols, S.LSN_META_COL, F.lit("existing").alias("op")
-    )
-    combined = batch_proj.unionByName(existing_proj)
-    # prefer existing on _lsn ties (re-delivered event == applied row)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col(S.LSN_META_COL).desc(), F.when(F.col("op") == "existing", 0).otherwise(1)
-    )
-    winners = combined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-
-    metric_exprs = [
-        F.coalesce(
-            F.sum(F.when(F.col("op").isin("insert", "update"), 1).otherwise(0)), F.lit(0)
-        ).alias("upserts"),
-        F.coalesce(F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)), F.lit(0)).alias(
-            "deletes"
-        ),
-        F.count(F.lit(1)).alias("survivors"),
-    ]
-    obs = Observation(f"merge-{batch_id}-{uuid.uuid4().hex[:8]}")
-    winners = winners.observe(obs, *metric_exprs)
-    final_rows = winners.filter(F.col("op") != "delete").drop("__rn", "op")
-
-    # -- salted repartition + staged bucket write -------------------------
-    final_rows = final_rows.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
-    if hot:
-        salt = F.when(
-            F.col("conv_id").isin(hot), F.pmod(F.col("turn_idx"), F.lit(cfg.n_salts))
-        ).otherwise(F.lit(0))
-    else:
-        salt = F.lit(0)
-    final_rows = final_rows.withColumn("__salt", salt)
-
-    staged = tempfile.mkdtemp(prefix=f"stage-{uuid.uuid4().hex}-")
-    shuffle_n = cfg.shuffle_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    (
-        final_rows.repartition(shuffle_n, "__bucket", "__salt")
-        .drop("__salt")
-        .write.mode("overwrite")
-        .partitionBy("__bucket")
-        .parquet(staged)
-    )
-    # Metrics ride the write action via CollectMetrics — no extra job in
-    # the common case. When AQE's empty-relation propagation eliminates
-    # the whole merge subtree (a batch whose only survivors are
-    # tombstones writes zero rows), the metrics row is lost and .get
-    # raises — recompute with one tiny job (the plan is deterministic,
-    # and this path only fires on near-empty outputs).
-    try:
-        row_metrics = obs.get
-    except Exception:
-        row_metrics = winners.agg(*metric_exprs).collect()[0].asDict()
-
-    snapshot = table.commit_merged_buckets(
-        staged_dir=staged,
-        affected_buckets=affected,
-        app_id=cfg.app_id,
-        batch_id=batch_id,
-        watermarks=watermarks,
-        lineage_row={
-            "batch_id": batch_id,
-            "rows": int(n_data),
-            "upserts": int(row_metrics["upserts"] or 0),
-            "deletes": int(row_metrics["deletes"] or 0),
-            "lsn_min": int(lsn_min),
-            "lsn_max": int(lsn_max),
-            "hot_keys": len(hot),
-        },
-    )
-    secs = time.perf_counter() - t0
-    batch_winners = int(row_metrics["upserts"] or 0) + int(row_metrics["deletes"] or 0)
-    return BatchMetrics(
-        batch_id=batch_id,
-        events=int(n_data),
-        upserts=int(row_metrics["upserts"] or 0),
-        deletes=int(row_metrics["deletes"] or 0),
-        dedup_dropped=int(n_data - batch_winners),
-        hot_keys=len(hot),
-        seconds=secs,
-        lsn_min=int(lsn_min),
-        lsn_max=int(lsn_max),
-        snapshot_id=snapshot,
-    )
+        secs = time.perf_counter() - t0
+        written = int(row_metrics["written"] or 0)
+        return BatchMetrics(
+            batch_id=batch_id,
+            events=int(n_data),
+            upserts=int(row_metrics["upserts"] or 0),
+            deletes=int(row_metrics["deletes"] or 0),
+            dedup_dropped=int(n_data - written),
+            hot_keys=len(hot),
+            seconds=secs,
+            lsn_min=int(lsn_min),
+            lsn_max=int(lsn_max),
+            snapshot_id=snapshot,
+            compacted_buckets=compacted,
+            deduped=deduped,
+        )
+    finally:
+        _shutil.rmtree(spool, ignore_errors=True)
+        if stats is not None:
+            stats.unpersist()

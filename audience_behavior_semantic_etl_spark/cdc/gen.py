@@ -254,6 +254,7 @@ def write_wal_chunks(log: pd.DataFrame, wal_dir: str, n_chunks: int) -> list[str
     os.makedirs(wal_dir, exist_ok=True)
     paths = []
     bounds = np.linspace(0, len(log), n_chunks + 1).astype(int)
+    base = int(__import__("time").time()) - n_chunks - 10
     for i in range(n_chunks):
         chunk = log.iloc[bounds[i] : bounds[i + 1]].copy()
         if chunk.empty:
@@ -264,5 +265,9 @@ def write_wal_chunks(log: pd.DataFrame, wal_dir: str, n_chunks: int) -> list[str
         path = os.path.join(wal_dir, f"chunk-{i:05d}.parquet")
         tbl = pa.Table.from_pandas(chunk, preserve_index=False)
         pq.write_table(tbl, path)
+        # strictly increasing mtimes: the file stream source orders by
+        # modification time, and the WAL contract requires DDL events
+        # to be delivered before the data that needs them.
+        os.utime(path, (base + i, base + i))
         paths.append(path)
     return paths

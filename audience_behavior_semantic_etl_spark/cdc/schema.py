@@ -47,6 +47,14 @@ TRANSCRIPTS_V2_ADDED: list[tuple[str, T.DataType]] = [
 # cannot overwrite a newer applied row (cross-batch LWW).
 LSN_META_COL = "_lsn"
 
+# Internal metadata column: tombstone flag. Deletes are RETAINED as
+# tombstone rows (filtered from read_final) so that a stale event
+# re-delivered in a later batch cannot resurrect a deleted key — the
+# tombstone's _lsn wins the merge window. Tombstones are purged by
+# table maintenance once the source's re-delivery horizon has passed
+# (SnapshotTable.purge_tombstones).
+DELETED_META_COL = "_deleted"
+
 _SQL_TYPE = {
     "string": T.StringType(),
     "int": T.IntegerType(),
@@ -68,8 +76,14 @@ def type_to_name(dt: T.DataType) -> str:
     raise ValueError(f"unsupported type {dt}")
 
 
-def transcripts_schema(columns: list[tuple[str, T.DataType]], with_lsn: bool = False) -> T.StructType:
+def transcripts_schema(
+    columns: list[tuple[str, T.DataType]],
+    with_lsn: bool = False,
+    with_deleted: bool = False,
+) -> T.StructType:
     fields = [T.StructField(n, dt, True) for n, dt in columns]
     if with_lsn:
         fields.append(T.StructField(LSN_META_COL, T.LongType(), True))
+    if with_deleted:
+        fields.append(T.StructField(DELETED_META_COL, T.BooleanType(), True))
     return T.StructType(fields)

@@ -1,5 +1,5 @@
-"""Snapshot-committed, bucket-partitioned table — the Iceberg-shaped
-sink for the CDC engine.
+"""Snapshot-committed, bucket-partitioned, MERGE-ON-READ table — the
+Iceberg-shaped sink for the CDC engine.
 
 No Iceberg runtime jar ships in this sandbox, so this implements the
 same *semantics* on plain parquet + a JSON manifest with an atomic
@@ -15,14 +15,26 @@ pointer swap:
   readable previous snapshot (write-manifest-last protocol,
   SURVEY.md §7.4)
 
+**Merge-on-read**: each apply APPENDS per-bucket delta files of batch
+winners (including tombstones); it never rewrites existing data. A key
+may therefore appear in several files of its bucket — ``read()``
+resolves last-writer-wins (max ``_lsn`` per key) at read time, and
+``compact_buckets`` folds a bucket's files back to one resolved file
+when the file count crosses a threshold. This is the Iceberg MoR /
+Hudi MOR / Paimon LSM-bucket design, and it is what makes apply cost
+O(batch) instead of O(table) — the difference between a CDC sink that
+sustains 10^10 events and one whose batches slow down as the table
+grows (copy-on-write rewrite amplification).
+
 Readers resolve ``_current`` -> manifest -> exact file list, so
 uncommitted data files are invisible. Bucket partitioning is
 ``pmod(xxhash64(conv_id), n_buckets)`` — the Iceberg
-``bucket(N, conv_id)`` transform analog — so a MERGE touches only the
-buckets its keys hash into, and replay-scale writes parallelize across
-buckets. On a real cluster this module is replaced by Iceberg
-``MERGE INTO`` + snapshot summary properties; the engine API is
-identical (this is a sink swap, not an engine change).
+``bucket(N, conv_id)`` transform analog — so a key's full history
+lives in one bucket (read-side LWW never crosses buckets) and
+compaction / reads parallelize across buckets. On a real cluster this
+module is replaced by Iceberg MERGE in merge-on-read mode + snapshot
+summary properties; the engine API is identical (this is a sink swap,
+not an engine change).
 
 Reference parity: the reference persists each cube step as
 Hive-partitioned parquet + temp table (ETLProcess.scala:111-128) with
@@ -39,7 +51,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from audience_behavior_semantic_etl_spark.cdc import schema as S
 
@@ -145,10 +157,10 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ schema
 
-    def spark_schema(self, with_lsn: bool = True):
+    def spark_schema(self, with_lsn: bool = True, with_deleted: bool = False):
         m = self.manifest()
         cols = [(n, S.type_from_name(t)) for n, t in m.columns]
-        return S.transcripts_schema(cols, with_lsn=with_lsn)
+        return S.transcripts_schema(cols, with_lsn=with_lsn, with_deleted=with_deleted)
 
     def add_columns(self, new_cols: dict[str, str]) -> None:
         """ADD COLUMN(s): metadata-only commit; existing files are read
@@ -167,7 +179,9 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ read
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+        """Every stored row version (delta files unresolved) with both
+        metadata columns — maintenance/compaction input."""
         m = self.manifest()
         sel = (
             m.buckets
@@ -175,14 +189,35 @@ class SnapshotTable:
             else {str(b): m.buckets.get(str(b), []) for b in buckets}
         )
         files = [os.path.join(self.root, p) for ps in sel.values() for p in ps]
-        schema = self.spark_schema(with_lsn=True)
+        schema = self.spark_schema(with_lsn=True, with_deleted=True)
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def read(self, buckets: list[int] | None = None, with_deleted: bool = False) -> DataFrame:
+        """Merge-on-read resolution: one row per (conv_id, turn_idx) —
+        the max-``_lsn`` version across all delta files (ties are
+        re-delivered identical rows; any survivor is the same row).
+        Tombstones are kept (flag surfaced when ``with_deleted``) so
+        callers see deletions; ``read_final`` filters them."""
+        df = self.read_raw(buckets)
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col(S.LSN_META_COL).desc())
+        resolved = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if with_deleted:
+            return resolved
+        return resolved.drop(S.DELETED_META_COL)
+
     def read_final(self) -> DataFrame:
-        """User-facing view: metadata column dropped."""
-        return self.read().drop(S.LSN_META_COL)
+        """User-facing view: LWW-resolved, tombstones filtered,
+        metadata columns dropped."""
+        df = self.read(with_deleted=True)
+        return df.filter(~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))).drop(
+            S.LSN_META_COL, S.DELETED_META_COL
+        )
 
     # ------------------------------------------------------------ write
 
@@ -190,24 +225,21 @@ class SnapshotTable:
         committed = self.manifest().properties.get("committed_batches", {})
         return batch_id <= committed.get(app_id, -1)
 
-    def commit_merged_buckets(
-        self,
-        staged_dir: str,
-        affected_buckets: list[int],
-        app_id: str,
-        batch_id: int,
-        watermarks: dict[str, int],
-        lineage_row: dict[str, Any],
-    ) -> str:
-        """Swap the file lists of ``affected_buckets`` for the files
-        Spark staged under ``staged_dir/__bucket=N/``, then commit one
-        new snapshot carrying the batch id + offset watermarks.
-        Returns the new snapshot id.
-        """
-        m = self.manifest()
-        snapshot = uuid.uuid4().hex
-        new_buckets = dict(m.buckets)
-        for b in affected_buckets:
+    def new_staging_dir(self) -> str:
+        """A staging directory UNDER the table root: adopted files move
+        with a same-filesystem rename (atomic, no copy) regardless of
+        where the table lives."""
+        d = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _adopt_staged(self, staged_dir: str | None, buckets: list[int], snapshot: str) -> dict[str, list[str]]:
+        """Move ``staged_dir/__bucket=N/*.parquet`` into data/ and return
+        bucket -> new relative file paths."""
+        out: dict[str, list[str]] = {}
+        if staged_dir is None:
+            return out
+        for b in buckets:
             bdir = os.path.join(staged_dir, f"__bucket={b}")
             rels: list[str] = []
             if os.path.isdir(bdir):
@@ -217,8 +249,62 @@ class SnapshotTable:
                     rel = f"data/f-{snapshot}-{b}-{i}.parquet"
                     shutil.move(os.path.join(bdir, fn), os.path.join(self.root, rel))
                     rels.append(rel)
-            new_buckets[str(b)] = rels  # empty list = bucket emptied
+            out[str(b)] = rels
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        return out
+
+    def commit_append_deltas(
+        self,
+        staged_dir: str | None,
+        affected_buckets: list[int],
+        app_id: str,
+        batch_id: int,
+        watermarks: dict[str, int],
+        lineage_row: dict[str, Any],
+    ) -> str:
+        """Merge-on-read apply commit: APPEND the staged files to each
+        affected bucket's file list (no rewrite of existing data), then
+        commit one new snapshot carrying the batch id + offset
+        watermarks. Returns the new snapshot id."""
+        m = self.manifest()
+        snapshot = uuid.uuid4().hex
+        adopted = self._adopt_staged(staged_dir, affected_buckets, snapshot)
+        new_buckets = dict(m.buckets)
+        for b, rels in adopted.items():
+            new_buckets[b] = list(new_buckets.get(b, [])) + rels
         m.buckets = new_buckets
+        return self._commit(m, snapshot, app_id, batch_id, watermarks, lineage_row)
+
+    def commit_merged_buckets(
+        self,
+        staged_dir: str | None,
+        affected_buckets: list[int],
+        app_id: str,
+        batch_id: int,
+        watermarks: dict[str, int],
+        lineage_row: dict[str, Any],
+    ) -> str:
+        """Compaction-style commit: SWAP the file lists of
+        ``affected_buckets`` for the staged files. Returns the new
+        snapshot id."""
+        m = self.manifest()
+        snapshot = uuid.uuid4().hex
+        adopted = self._adopt_staged(staged_dir, affected_buckets, snapshot)
+        new_buckets = dict(m.buckets)
+        for b, rels in adopted.items():
+            new_buckets[b] = rels  # empty list = bucket emptied
+        m.buckets = new_buckets
+        return self._commit(m, snapshot, app_id, batch_id, watermarks, lineage_row)
+
+    def _commit(
+        self,
+        m: Manifest,
+        snapshot: str,
+        app_id: str,
+        batch_id: int,
+        watermarks: dict[str, int],
+        lineage_row: dict[str, Any],
+    ) -> str:
         m.parent = m.version
         m.version += 1
         old_snapshot = m.snapshot_id
@@ -230,6 +316,77 @@ class SnapshotTable:
         m.lineage.append({**lineage_row, "snapshot_id": snapshot, "parent_snapshot": old_snapshot})
         self._write_manifest(m)
         return snapshot
+
+    # ------------------------------------------------------------ maintenance
+
+    def buckets_over_threshold(self, max_files: int) -> list[int]:
+        """Buckets whose delta-file count exceeds ``max_files`` —
+        compaction candidates (manifest metadata only, no data read)."""
+        m = self.manifest()
+        return [int(b) for b, fs in m.buckets.items() if len(fs) > max_files]
+
+    def compact_buckets(
+        self,
+        buckets: list[int],
+        purge_tombstones_below_lsn: int | None = None,
+        shuffle_partitions: int | None = None,
+    ) -> str | None:
+        """Fold each bucket's delta files into one LWW-resolved file set
+        (the MoR compaction). Tombstones are RETAINED unless the caller
+        supplies a re-delivery horizon — a tombstone with
+        ``_lsn < horizon`` can never lose to a future event, so it can
+        be dropped. The engine cannot infer the horizon from apply
+        watermarks (a re-delivered duplicate carries its ORIGINAL lsn);
+        it comes from the source's retention guarantee. Commits one new
+        snapshot; returns its id (None if nothing to do).
+
+        Obsolete pre-compaction files stay on disk, unreferenced by the
+        new manifest (Iceberg-style orphans; time-travel readers of old
+        snapshots still see them until a GC pass)."""
+        if not buckets:
+            return None
+        m = self.manifest()
+        resolved = self.read(buckets=buckets, with_deleted=True)
+        if purge_tombstones_below_lsn is not None:
+            resolved = resolved.filter(
+                ~(
+                    F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))
+                    & (F.col(S.LSN_META_COL) < F.lit(purge_tombstones_below_lsn))
+                )
+            )
+        n = shuffle_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        staged = self.new_staging_dir()
+        (
+            resolved.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
+            .repartition(min(n, len(buckets)), "__bucket")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staged)
+        )
+        return self.commit_merged_buckets(
+            staged_dir=staged,
+            affected_buckets=buckets,
+            app_id="__maintenance__",
+            batch_id=int(m.properties.get("committed_batches", {}).get("__maintenance__", -1)) + 1,
+            watermarks={},
+            lineage_row={
+                "op": "compact",
+                "buckets": len(buckets),
+                "purge_below_lsn": purge_tombstones_below_lsn,
+            },
+        )
+
+    def purge_tombstones(self, below_lsn: int, shuffle_partitions: int | None = None) -> str | None:
+        """Compact ALL buckets, dropping tombstones below the supplied
+        re-delivery horizon (see compact_buckets)."""
+        m = self.manifest()
+        buckets = [int(b) for b, fs in m.buckets.items() if fs]
+        return self.compact_buckets(
+            buckets, purge_tombstones_below_lsn=below_lsn, shuffle_partitions=shuffle_partitions
+        )
 
     # ------------------------------------------------------------ metrics
 

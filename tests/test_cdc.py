@@ -144,3 +144,61 @@ def test_canonicalization_is_applied(spark, tmp_path):
     apply_batch(_envelope_df(spark, _mk_events([(1, "insert", messy)])), table, 0)
     got = table.read_final().toPandas()
     assert list(got["text"]) == ["café line\nnext"]
+
+
+def test_stale_redelivery_after_delete_stays_deleted(spark, tmp_path):
+    """Tombstone retention: a stale update re-delivered in a LATER batch
+    than the delete must NOT resurrect the key — the retained tombstone's
+    _lsn wins the merge window."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_events([(1, "insert", "A"), (5, "update", "B")])), table, 0
+    )
+    apply_batch(_envelope_df(spark, _mk_events([(6, "delete", "")])), table, 1)
+    apply_batch(_envelope_df(spark, _mk_events([(5, "update", "B")])), table, 2)
+    assert table.read_final().count() == 0, "stale redelivery resurrected a deleted key"
+    # but a genuinely newer insert still beats the tombstone
+    apply_batch(_envelope_df(spark, _mk_events([(9, "insert", "C")])), table, 3)
+    assert list(table.read_final().toPandas()["text"]) == ["C"]
+
+
+def test_purge_tombstones(spark, tmp_path):
+    """Maintenance purge removes tombstones below the supplied horizon
+    and keeps those at/above it (they still guard against re-delivery)."""
+    from pyspark.sql import functions as F
+
+    from audience_behavior_semantic_etl_spark.cdc.schema import DELETED_META_COL
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_events([(1, "insert", "A"), (2, "delete", "")])), table, 0
+    )
+    stored = table.read(with_deleted=True)
+    assert stored.filter(F.col(DELETED_META_COL)).count() == 1, "tombstone must be retained"
+    table.purge_tombstones(below_lsn=3)
+    assert table.read(with_deleted=True).count() == 0, "purge must drop old tombstones"
+    # purge is itself a snapshot commit; final view unchanged
+    assert table.read_final().count() == 0
+
+
+def test_spark_generator_replay_matches_oracle(spark, tmp_path):
+    """The distributed (bench-scale) WAL generator must satisfy the same
+    replay contract as the pandas generator: stream-replay through the
+    engine equals the independent single-threaded oracle reduction."""
+    from audience_behavior_semantic_etl_spark.cdc.gen_spark import (
+        generate_change_log_spark,
+        write_wal_chunks_spark,
+    )
+
+    log_df = generate_change_log_spark(spark, seed=11, n_convs=300)
+    wal = str(tmp_path / "wal")
+    write_wal_chunks_spark(log_df, wal, n_chunks=6)
+
+    # oracle over the stream-ordered pandas view of the same log
+    log_pdf = spark.read.parquet(wal).toPandas()
+    oracle = expected_final_state(log_pdf)
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    run = run_wal_stream(spark, wal, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    assert run.error is None
+    check_equal(table_to_pandas(table), oracle)
