@@ -555,6 +555,104 @@ def q_rename_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select("c_custkey", "customer_name", "balance")
 
 
+_UA_SET = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) AppleWebKit/605.1.15 Version/16.5 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/118.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 Chrome/119.0.0.0 Safari/537.36 Edg/119.0.2151.44",
+    "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 Chrome/121.0.6167.101 Mobile Safari/537.36",
+]
+
+
+def q_enrich_useragent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 parseUserAgent analog (UserAgentFunctions.scala:32-53):
+    struct-returning vectorized UDF + dotted-path flatten (the
+    reference's enrich-then-RenameColumns chain). UA strings are
+    synthesized deterministically from event ids so the oracle can map
+    them directly."""
+    from audience_behavior_semantic_etl_spark.functions.enrich import parse_user_agent_udf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(
+            F.array(*[F.lit(u) for u in _UA_SET]), (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int")
+        ).alias("ua"),
+    )
+    parsed = ev.withColumn("u", parse_user_agent_udf(F.col("ua")))
+    return parsed.select(
+        "event_id",
+        F.col("u.family").alias("browser_family"),
+        F.col("u.major").alias("browser_major"),
+        F.col("u.os_family").alias("os_family"),
+        F.col("u.device_family").alias("device_family"),
+    )
+
+
+def q_enrich_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 parseIp analog (GeoIpFunctions.scala:30-49, stub geo table —
+    no GeoLite2 here) + U12 haversine (geoip/Point.scala:43-80): IPs
+    synthesized from user ids, geo-coded via the cached vectorized UDF,
+    distance to origin via native trig."""
+    from audience_behavior_semantic_etl_spark.functions.enrich import parse_ip_udf
+    from audience_behavior_semantic_etl_spark.functions.math_fns import haversine_km
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .withColumn("o1", (F.pmod(F.col("user_id"), F.lit(200)) + 1).cast("int"))
+        .withColumn("o2", F.pmod(F.floor(F.col("user_id") / 7), F.lit(256)).cast("int"))
+    )
+    ev = ev.withColumn(
+        "ip", F.concat_ws(".", F.col("o1"), F.col("o2"), F.lit("0"), F.lit("1"))
+    )
+    geo = ev.withColumn("g", parse_ip_udf(F.col("ip")))
+    return geo.select(
+        "event_id",
+        "ip",
+        F.col("g.country_code").alias("country_code"),
+        F.col("g.continent").alias("continent"),
+        F.round(haversine_km(F.col("g.lat"), F.col("g.lon"), F.lit(0.0), F.lit(0.0)), 1).alias(
+            "km_to_origin"
+        ),
+    )
+
+
+def q_metric_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 MetricResolver/AnalysisLayer analog
+    (MetricResolver.scala:32-62,182-211): an UNORDERED metric set whose
+    expressions reference other metrics, stratified into layers by
+    fixed point and applied in dependency order."""
+    from audience_behavior_semantic_etl_spark.operators.metrics import add_metric_layers
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = add_metric_layers(
+        li,
+        {
+            # layer 2 (references net_price)
+            "gross_price": "net_price * (1 + l_tax)",
+            # layer 1
+            "net_price": "l_extendedprice * (1 - l_discount)",
+            # layer 3 (references gross_price)
+            "margin": "gross_price - net_price",
+        },
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.round(F.sum("net_price"), 2).alias("sum_net"),
+        F.round(F.sum("gross_price"), 2).alias("sum_gross"),
+        F.round(F.sum("margin"), 2).alias("sum_margin"),
+    )
+
+
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: event-time tumbling window + watermark
+    drained with availableNow — the engine's incremental-cube op
+    (streaming/windowed.py). Finished result equals the batch GROUP BY,
+    which is the oracle."""
+    from audience_behavior_semantic_etl_spark.streaming.windowed import tumbling_window_counts
+
+    return tumbling_window_counts(spark, f"{sf_dir}/events.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference operator inventory (SURVEY.md §2)
@@ -595,6 +693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dups": q_embedding_dups,
         "q_multimodal_features": q_multimodal_features,
         "q_frame_sample_plan": q_frame_sample_plan,
+        # enrichment UDFs (U1/U2/U12) + metric layers (M5) + streaming
+        "q_enrich_useragent": q_enrich_useragent,
+        "q_enrich_geoip": q_enrich_geoip,
+        "q_metric_layers": q_metric_layers,
+        "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
 
 
@@ -961,5 +1064,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(f * 1000 AS INTEGER) AS frame_ts_ms,
                    'application/octet-stream' AS mime
             FROM (SELECT media_id, unnest(range(0, greatest(n_frames, 1))) AS f FROM v)
+        """,
+        # U1: the 5 synthetic UA strings map 1:1 to known parse results,
+        # so the oracle maps event_id % 5 directly.
+        "q_enrich_useragent": """
+            SELECT event_id,
+                   CASE event_id % 5 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+                        WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Edge' ELSE 'Chrome' END AS browser_family,
+                   CASE event_id % 5 WHEN 0 THEN '120' WHEN 1 THEN '16'
+                        WHEN 2 THEN '118' WHEN 3 THEN '119' ELSE '121' END AS browser_major,
+                   CASE event_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                        WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows' ELSE 'Android' END AS os_family,
+                   CASE event_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'iPhone'
+                        WHEN 2 THEN 'Desktop' WHEN 3 THEN 'Desktop' ELSE 'Mobile' END AS device_family
+            FROM events
+        """,
+        # U2 + U12: stub geo table = (o1*256+o2) % 10 bucket; identical
+        # haversine expression on both sides.
+        "q_enrich_geoip": """
+            WITH oct AS (
+              SELECT event_id,
+                     CAST(user_id % 200 + 1 AS INTEGER) AS o1,
+                     CAST((user_id // 7) % 256 AS INTEGER) AS o2
+              FROM events
+            ), geo(b, country_code, continent, lat, lon) AS (VALUES
+              (0,'US','NA',39.8,-98.6),(1,'GB','EU',54.0,-2.0),(2,'DE','EU',51.0,9.0),
+              (3,'FR','EU',47.0,2.0),(4,'IN','AS',21.0,78.0),(5,'CN','AS',35.0,103.0),
+              (6,'JP','AS',36.0,138.0),(7,'BR','SA',-10.0,-55.0),(8,'AU','OC',-25.0,134.0),
+              (9,'ZA','AF',-29.0,24.0))
+            SELECT event_id,
+                   o1 || '.' || o2 || '.0.1' AS ip,
+                   country_code, continent,
+                   round(2 * 6371 * asin(sqrt(
+                       power(sin(radians(0 - lat) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(0)) * power(sin(radians(0 - lon) / 2), 2)
+                   )), 1) AS km_to_origin
+            FROM oct JOIN geo ON (o1 * 256 + o2) % 10 = geo.b
+        """,
+        # M5 layered metrics
+        "q_metric_layers": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     l_extendedprice * (1 - l_discount) AS net_price,
+                     l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   round(sum(net_price), 2) AS sum_net,
+                   round(sum(gross_price), 2) AS sum_gross,
+                   round(sum(gross_price - net_price), 2) AS sum_margin
+            FROM m GROUP BY l_returnflag
+        """,
+        # streaming tumbling window: finished availableNow result ==
+        # batch GROUP BY of hour buckets
+        "q_stream_tumbling_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -165,6 +165,7 @@ class BatchMetrics:
     skipped: bool = False
     compacted_buckets: int = 0
     deduped: bool = False
+    phases: dict | None = None  # phase -> seconds (spool/stats/census/write/commit/compact)
 
 
 def apply_batch(
@@ -194,9 +195,19 @@ def apply_batch(
     #     layer every CDC pipeline keeps anyway.
     import shutil as _shutil
 
+    phases: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def _phase(name: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        phases[name] = round(now - _t, 3)
+        _t = now
+
     spool = table.new_staging_dir()
     events_raw.write.mode("overwrite").parquet(spool)
     events_raw = spark.read.schema(S.ENVELOPE_SCHEMA).parquet(spool)
+    _phase("spool")
     stats = None
     try:
         # -- job 1: ONE column-pruned batch scan -> per-(source_part,
@@ -224,6 +235,7 @@ def apply_batch(
             )
             .collect()
         )
+        _phase("stats")
         n_events = sum(r["n"] for r in part_stats)
         n_sc = sum(r["n_sc"] for r in part_stats)
         if n_events == 0:
@@ -273,6 +285,7 @@ def apply_batch(
         )
         affected = [int(r["__b"]) for r in census]
         hot = [c for r in census for c in r["hot"]]
+        _phase("census")
 
         data = events_raw.filter(F.col("op") != "schema_change").select(
             "conv_id", "turn_idx", "lsn", "op", "payload"
@@ -314,7 +327,13 @@ def apply_batch(
         else:
             salt = F.lit(0)
         data = data.withColumn("__salt", salt)
-        data = data.repartition(shuffle_n, "__bucket", "__salt").drop("__salt")
+        # RANGE partition, not hash: hash(bucket, salt) over only
+        # n_buckets distinct values collides balls-in-bins style — the
+        # slowest write task carried ~3x the average and gated the
+        # stage (measured 9.7s -> 4.8s at 32 cores). Ranges over
+        # (bucket, salt, conv_id) balance by sampling AND split a hot
+        # bucket/conversation across tasks.
+        data = data.repartitionByRange(shuffle_n, "__bucket", "__salt", "conv_id").drop("__salt")
 
         out_schema = winners_schema(table)
         final_rows = data.mapInPandas(
@@ -338,6 +357,7 @@ def apply_batch(
             row_metrics = obs.get
         except Exception:
             row_metrics = data.agg(*metric_exprs).collect()[0].asDict()
+        _phase("write")
 
         snapshot = table.commit_append_deltas(
             staged_dir=staged,
@@ -357,6 +377,8 @@ def apply_batch(
             },
         )
 
+        _phase("commit")
+
         # -- amortized compaction ------------------------------------------
         compacted = 0
         if cfg.auto_compact:
@@ -364,6 +386,7 @@ def apply_batch(
             if over:
                 table.compact_buckets(over, shuffle_partitions=shuffle_n)
                 compacted = len(over)
+                _phase("compact")
 
         secs = time.perf_counter() - t0
         written = int(row_metrics["written"] or 0)
@@ -380,6 +403,7 @@ def apply_batch(
             snapshot_id=snapshot,
             compacted_buckets=compacted,
             deduped=deduped,
+            phases=phases,
         )
     finally:
         _shutil.rmtree(spool, ignore_errors=True)

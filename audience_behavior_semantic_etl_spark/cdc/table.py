@@ -360,7 +360,9 @@ class SnapshotTable:
         staged = self.new_staging_dir()
         (
             resolved.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
-            .repartition(min(n, len(buckets)), "__bucket")
+            # range, not hash: few distinct bucket values hash-collide
+            # into unbalanced tasks (see apply.py write path)
+            .repartitionByRange(min(n, len(buckets)), "__bucket", "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
             .write.mode("overwrite")
             .partitionBy("__bucket")

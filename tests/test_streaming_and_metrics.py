@@ -1,0 +1,57 @@
+"""Unit tests for the streaming windowed op, metric-layer resolution
+(M5 analog), and the WAL source module."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_metric_layers_resolve_and_error(spark):
+    from audience_behavior_semantic_etl_spark.operators.metrics import (
+        MetricAnalysisError,
+        add_metric_layers,
+        resolve_metric_layers,
+    )
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "a int, b double")
+    layers = resolve_metric_layers(df, {"m2": "m1 * 10", "m1": "a + b"})
+    assert [sorted(layer) for layer in layers] == [["m1"], ["m2"]]
+    out = add_metric_layers(df, {"m2": "m1 * 10", "m1": "a + b"}).orderBy("a").collect()
+    assert out[0]["m2"] == 30.0
+
+    with pytest.raises(MetricAnalysisError):
+        resolve_metric_layers(df, {"bad": "no_such_col + 1"})
+
+
+def test_tumbling_window_counts_equals_batch(spark, tmp_path):
+    from audience_behavior_semantic_etl_spark.streaming.windowed import tumbling_window_counts
+
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [("2025-01-01 00:10:00", "a"), ("2025-01-01 00:50:00", "a"), ("2025-01-01 01:10:00", "b")],
+        "ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    df.write.mode("overwrite").parquet(src)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling_window_counts(spark, src).collect()
+    }
+    assert got == {
+        ("2025-01-01 00:00:00", "a"): 2,
+        ("2025-01-01 01:00:00", "b"): 1,
+    }
+
+
+def test_wal_source_roundtrip(spark, tmp_path):
+    from audience_behavior_semantic_etl_spark.cdc.gen import GenConfig, generate_change_log, write_wal_chunks
+    from audience_behavior_semantic_etl_spark.sources import read_wal
+
+    log = generate_change_log(GenConfig(seed=3, n_convs=10))
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=2)
+    df = read_wal(spark, wal)
+    assert df.count() == len(log)
+    assert df.schema["lsn"].dataType.simpleString() == "bigint"
