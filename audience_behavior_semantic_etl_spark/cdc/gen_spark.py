@@ -26,6 +26,7 @@ Semantics matched to gen.py (not byte-identical):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
 
@@ -251,7 +252,11 @@ def generate_change_log_spark(
                 "stream_pos": evolution_lsn,
             }
         ],
-        schema=ENVELOPE_SCHEMA.add("stream_pos", "long"),
+        # StructType.add MUTATES the receiver — never call it on the
+        # shared schema constant
+        schema=T.StructType(
+            list(ENVELOPE_SCHEMA.fields) + [T.StructField("stream_pos", T.LongType())]
+        ),
     )
     return data.unionByName(sc_row)
 

@@ -135,10 +135,14 @@ class SnapshotTable:
     def exists(root: str) -> bool:
         return os.path.exists(os.path.join(root, "_current"))
 
-    def manifest(self) -> Manifest:
-        with open(os.path.join(self.root, "_current")) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(self.root, "_manifests", f"v{v}.json")) as f:
+    def manifest(self, version: int | None = None) -> Manifest:
+        """Current manifest, or a specific committed version (time
+        travel — Iceberg snapshot-id reads; old data files stay on disk
+        until a GC pass, so every committed version remains readable)."""
+        if version is None:
+            with open(os.path.join(self.root, "_current")) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(self.root, "_manifests", f"v{version}.json")) as f:
             return Manifest.from_json(f.read())
 
     def _write_manifest(self, m: Manifest) -> None:
@@ -179,28 +183,37 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ read
 
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_raw(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Every stored row version (delta files unresolved) with both
-        metadata columns — maintenance/compaction input."""
-        m = self.manifest()
+        metadata columns — maintenance/compaction input. ``version``
+        time-travels to an older committed snapshot."""
+        m = self.manifest(version)
         sel = (
             m.buckets
             if buckets is None
             else {str(b): m.buckets.get(str(b), []) for b in buckets}
         )
         files = [os.path.join(self.root, p) for ps in sel.values() for p in ps]
-        schema = self.spark_schema(with_lsn=True, with_deleted=True)
+        cols = [(n, S.type_from_name(t)) for n, t in m.columns]
+        schema = S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read(self, buckets: list[int] | None = None, with_deleted: bool = False) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        with_deleted: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
         """Merge-on-read resolution: one row per (conv_id, turn_idx) —
         the max-``_lsn`` version across all delta files (ties are
         re-delivered identical rows; any survivor is the same row).
         Tombstones are kept (flag surfaced when ``with_deleted``) so
         callers see deletions; ``read_final`` filters them."""
-        df = self.read_raw(buckets)
+        df = self.read_raw(buckets, version=version)
         w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col(S.LSN_META_COL).desc())
         resolved = (
             df.withColumn("__rn", F.row_number().over(w))
@@ -211,10 +224,10 @@ class SnapshotTable:
             return resolved
         return resolved.drop(S.DELETED_META_COL)
 
-    def read_final(self) -> DataFrame:
+    def read_final(self, version: int | None = None) -> DataFrame:
         """User-facing view: LWW-resolved, tombstones filtered,
-        metadata columns dropped."""
-        df = self.read(with_deleted=True)
+        metadata columns dropped. ``version`` time-travels."""
+        df = self.read(with_deleted=True, version=version)
         return df.filter(~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))).drop(
             S.LSN_META_COL, S.DELETED_META_COL
         )

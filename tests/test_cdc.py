@@ -202,3 +202,64 @@ def test_spark_generator_replay_matches_oracle(spark, tmp_path):
     run = run_wal_stream(spark, wal, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
     assert run.error is None
     check_equal(table_to_pandas(table), oracle)
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    """Every committed version stays readable (Iceberg snapshot reads):
+    after an update, version N-1 still shows the pre-update row."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "OLD")])), table, 0)
+    v1 = table.manifest().version
+    apply_batch(_envelope_df(spark, _mk_events([(2, "update", "NEW")])), table, 1)
+    assert list(table.read_final().toPandas()["text"]) == ["NEW"]
+    assert list(table.read_final(version=v1).toPandas()["text"]) == ["OLD"]
+
+
+def test_compaction_preserves_replay_correctness(spark, small_log, tmp_path):
+    """Aggressive auto-compaction (threshold 1 file) interleaved with
+    streaming apply must not change the final state."""
+    log, oracle = small_log
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=6)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cfg = ApplyConfig(compact_max_files=1)
+    run = run_wal_stream(spark, wal, table, str(tmp_path / "ckpt"), cfg, max_files_per_trigger=2)
+    assert run.error is None
+    assert any(m.compacted_buckets > 0 for m in run.metrics), "compaction never triggered"
+    check_equal(table_to_pandas(table), oracle)
+    # compaction bounded the per-bucket file count
+    assert max(len(fs) for fs in table.manifest().buckets.values()) <= 2
+
+
+def test_hot_key_census_and_salting(spark, tmp_path):
+    """A conversation exceeding the per-batch threshold is detected and
+    its rows still apply correctly (salted write path)."""
+    rows = [(i + 1, "insert" if i < 50 else "update", f"T{i}") for i in range(200)]
+    pdf = _mk_events(rows)
+    pdf["turn_idx"] = [i % 50 for i in range(200)]
+    pdf["payload"] = [
+        json.dumps({"role": "user", "text": f"t{i}", "tool": None, "ts": "2025-01-01T00:00:00"})
+        for i in range(200)
+    ]
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    m = apply_batch(_envelope_df(spark, pdf), table, 0, ApplyConfig(hot_key_threshold=100))
+    assert m.hot_keys == 1, "hot conversation not detected"
+    assert table.read_final().count() == 50
+
+
+def test_resume_across_schema_change(spark, small_log, tmp_path):
+    """Crash in the batch AFTER the schema_change applied; resume must
+    not re-apply DDL (idempotent) and must converge to the oracle."""
+    log, oracle = small_log
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=8)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    # schema_change sits mid-log; crash after 5 of 8 single-chunk batches
+    run1 = run_wal_stream(spark, wal, table, ckpt, max_files_per_trigger=1, fail_after_batches=5)
+    assert run1.error is not None
+    cols_mid = [n for n, _ in table.manifest().columns]
+    assert "tool_name" in cols_mid, "expected DDL applied before the crash point"
+    run2 = run_wal_stream(spark, wal, table, ckpt, max_files_per_trigger=1)
+    assert run2.error is None
+    check_equal(table_to_pandas(table), oracle)

@@ -1,0 +1,43 @@
+"""Plan-shape smoke tests (SURVEY.md §5): the optimizations the engine
+relies on at 100 TB must be visible in the physical plan, not assumed —
+predicate pushdown to the parquet scan, column pruning, broadcast for
+small dimension joins, and shuffle counts that match the design.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_project_pushes_down_and_prunes(spark):
+    p = _plan(spark, "q_filter_project")
+    assert "EqualTo(o_orderstatus,O)" in p, "filter not pushed to scan"
+    assert "GreaterThan(o_totalprice" in p, "range filter not pushed to scan"
+    # column pruning: unneeded wide columns never reach the scan
+    assert "o_comment" not in p and "o_orderdate" not in p
+    assert "Exchange" not in p, "pure filter+project must not shuffle"
+
+
+def test_small_dim_join_broadcasts(spark):
+    p = _plan(spark, "q_join_equi_broadcast")
+    assert "BroadcastExchange" in p, "small dimension side must broadcast"
+
+
+def test_lww_dedup_single_shuffle(spark):
+    p = _plan(spark, "q_dedup_lww")
+    assert p.count("+- Exchange") == 1, "LWW dedup is one hash shuffle"
+
+
+def test_pricing_summary_scan_is_pruned(spark):
+    p = _plan(spark, "q_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p, "date filter not pushed"
+    assert "l_comment" not in p, "scan reads columns the query never uses"
