@@ -643,6 +643,19 @@ def q_metric_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors — the SCALE path: random-hyperplane
+    LSH bucketing (deterministic md5 planes), candidates = same-bucket
+    pairs, exact cosine re-rank within buckets (operators.similarity).
+    The oracle reproduces the identical planes, so recall loss is part
+    of the checked contract, not noise."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, "embedding", "vec_id",
+                    dim=64, k=5, n_planes=6)
+
+
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: event-time tumbling window + watermark
     drained with availableNow — the engine's incremental-cube op
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_enrich_useragent": q_enrich_useragent,
         "q_enrich_geoip": q_enrich_geoip,
         "q_metric_layers": q_metric_layers,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
 
@@ -744,6 +758,32 @@ def _minhash_sql(n_hashes: int) -> str:
 
 def _stopword_list_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _lsh_ann_sql(dim: int, n_planes: int, k: int) -> str:
+    """DuckDB reproduction of operators.similarity.lsh_topk with the
+    SAME md5-derived hyperplanes inlined as literals."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import hyperplane
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, CAST({hyperplane(dim, p)} AS DOUBLE[])) >= 0 "
+        f"THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bits} AS bkt FROM e),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+          FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1115,6 +1155,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(gross_price - net_price), 2) AS sum_margin
             FROM m GROUP BY l_returnflag
         """,
+        # LSH ANN: identical deterministic hyperplanes inlined; bucket
+        # bit p = 1 iff dot(v, plane_p) >= 0 (double accumulation in
+        # array order on both engines)
+        "q_ann_lsh_topk": _lsh_ann_sql(dim=64, n_planes=6, k=5),
         # streaming tumbling window: finished availableNow result ==
         # batch GROUP BY of hour buckets
         "q_stream_tumbling_counts": """

@@ -55,3 +55,36 @@ def test_wal_source_roundtrip(spark, tmp_path):
     df = read_wal(spark, wal)
     assert df.count() == len(log)
     assert df.schema["lsn"].dataType.simpleString() == "bigint"
+
+
+def test_etl_process_dag(spark, tmp_path):
+    """M1-M4 parity: topo execution, persist as partitioned parquet,
+    temp-view registration, cycle detection."""
+    import pytest as _pytest
+
+    from audience_behavior_semantic_etl_spark.plans.etl_process import ETLProcess, ETLStep
+
+    raw = ETLStep("raw", "source rows", lambda _: spark.range(10).withColumn("k", F.col("id") % 2))
+    enriched = ETLStep(
+        "enriched", "adds doubled", lambda d: d["raw"].withColumn("x2", F.col("id") * 2),
+        inputs=("raw",),
+    )
+    agg = ETLStep(
+        "agg", "per-k sums", lambda d: d["enriched"].groupBy("k").sum("x2"),
+        inputs=("enriched",),
+        persist_path=str(tmp_path / "cube"),
+        partition_by=("k",),
+        register_as="agg_view",
+    )
+    proc = ETLProcess([agg, enriched, raw])  # deliberately unordered
+    assert proc.topo_order().index("raw") < proc.topo_order().index("agg")
+    out = proc.run()
+    assert out["agg"].count() == 2
+    assert spark.table("agg_view").count() == 2
+    assert spark.read.parquet(str(tmp_path / "cube")).count() == 2
+    assert "agg <- ['enriched']" in proc.describe()
+
+    bad = ETLStep("a", "", lambda d: d["b"], inputs=("b",))
+    bad2 = ETLStep("b", "", lambda d: d["a"], inputs=("a",))
+    with _pytest.raises(ValueError, match="cycle"):
+        ETLProcess([bad, bad2]).topo_order()
