@@ -403,6 +403,41 @@ class SnapshotTable:
             buckets, purge_tombstones_below_lsn=below_lsn, shuffle_partitions=shuffle_partitions
         )
 
+    def gc_orphans(self, keep_versions: int = 3) -> list[str]:
+        """Delete data files referenced by NO manifest within the last
+        ``keep_versions`` committed versions (and drop older manifests).
+        Time travel stays available for the kept window; everything
+        older becomes unreadable — the Iceberg expire-snapshots +
+        remove-orphan-files maintenance pair. Returns deleted paths."""
+        cur = self.manifest().version
+        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        referenced: set[str] = set()
+        for v in keep:
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            for fs in m.buckets.values():
+                referenced.update(fs)
+        deleted: list[str] = []
+        data_dir = os.path.join(self.root, "data")
+        for fn in os.listdir(data_dir):
+            rel = f"data/{fn}"
+            if rel not in referenced:
+                os.remove(os.path.join(data_dir, fn))
+                deleted.append(rel)
+        man_dir = os.path.join(self.root, "_manifests")
+        for fn in os.listdir(man_dir):
+            v = int(fn[1:-5])  # v{N}.json
+            if v < keep.start:
+                os.remove(os.path.join(man_dir, fn))
+        # clear abandoned staging dirs (crashed writes)
+        staging = os.path.join(self.root, "_staging")
+        if os.path.isdir(staging):
+            for d in os.listdir(staging):
+                shutil.rmtree(os.path.join(staging, d), ignore_errors=True)
+        return deleted
+
     # ------------------------------------------------------------ metrics
 
     def lineage(self) -> list[dict[str, Any]]:

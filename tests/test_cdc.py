@@ -263,3 +263,54 @@ def test_resume_across_schema_change(spark, small_log, tmp_path):
     run2 = run_wal_stream(spark, wal, table, ckpt, max_files_per_trigger=1)
     assert run2.error is None
     check_equal(table_to_pandas(table), oracle)
+
+
+def test_crash_between_manifest_and_pointer_swap(spark, tmp_path):
+    """Write-manifest-last protocol: a crash after writing manifest
+    v(N+1) but BEFORE the _current pointer swap must leave the table
+    readable at version N, and the next apply must succeed (orphan
+    manifest is simply overwritten)."""
+    import os
+
+    from audience_behavior_semantic_etl_spark.cdc.table import Manifest
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "A")])), table, 0)
+    m = table.manifest()
+    # simulate the crash window: orphan manifest exists, pointer unswapped
+    orphan = Manifest(
+        version=m.version + 1,
+        snapshot_id="deadbeef",
+        parent=m.version,
+        columns=m.columns,
+        n_buckets=m.n_buckets,
+        buckets={},  # would-be "emptied" table
+        properties=m.properties,
+    )
+    with open(os.path.join(table.root, "_manifests", f"v{orphan.version}.json"), "w") as f:
+        f.write(orphan.to_json())
+    # readers still see version N
+    assert list(table.read_final().toPandas()["text"]) == ["A"]
+    # recovery: the next commit claims version N+1 and the table converges
+    apply_batch(_envelope_df(spark, _mk_events([(5, "update", "B")])), table, 1)
+    assert list(table.read_final().toPandas()["text"]) == ["B"]
+    assert table.manifest().snapshot_id != "deadbeef"
+
+
+def test_gc_orphans_keeps_window_drops_rest(spark, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for i, (lsn, text) in enumerate([(1, "A"), (2, "B"), (3, "C"), (4, "D")]):
+        apply_batch(_envelope_df(spark, _mk_events([(lsn, "insert" if i == 0 else "update", text)])), table, i)
+    # compaction folds the deltas; the pre-compaction delta files are
+    # now referenced only by expired-window manifests
+    table.compact_buckets(list(range(2)))
+    v_now = table.manifest().version
+    deleted = table.gc_orphans(keep_versions=1)
+    # current state unaffected
+    assert list(table.read_final().toPandas()["text"]) == ["D"]
+    assert table.read_final(version=v_now).count() == 1
+    # expired versions are gone
+    with pytest.raises(FileNotFoundError):
+        table.manifest(version=0)
+    # the pre-compaction delta files are gone from disk
+    assert deleted, "expected orphaned delta files to be removed"
