@@ -97,6 +97,22 @@ def make_winner_normalizer(out_schema: T.StructType, passthrough: tuple[str, ...
     """
     key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL}
     payload_cols = [f.name for f in out_schema.fields if f.name not in key_meta]
+    # Per-column extraction paths, precomputed ONCE (the inverse of the
+    # old per-row flatten-then-rename, which built a dict per row):
+    # direct key first, then the dotted-path sources that flatten to
+    # this name — tool_* <- tool_meta.* (the reference's rename,
+    # RenameColumns.scala:54) and generic a_b <- a.b.
+    specs: list[tuple[str, list[tuple[str, ...]]]] = []
+    for c in payload_cols:
+        paths: list[tuple[str, ...]] = [(c,)]
+        if c.startswith("tool_"):
+            paths.append(("tool_meta", c[len("tool_"):]))
+        for i, ch in enumerate(c):
+            if ch == "_":
+                paths.append((c[:i], c[i + 1:]))
+        specs.append((c, paths))
+
+    loads = json.loads
 
     def normalize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -109,27 +125,31 @@ def make_winner_normalizer(out_schema: T.StructType, passthrough: tuple[str, ...
                 S.LSN_META_COL: pdf["lsn"],
                 S.DELETED_META_COL: pd.Series(ops == "delete", index=pdf.index),
             }
-            cols: dict[str, list] = {c: [None] * n for c in payload_cols}
+            parsed: list = [None] * n
             for i in range(n):
-                if ops[i] == "delete" or payloads[i] is None:
-                    continue
-                p = json.loads(payloads[i])
-                # flatten one level of nested structs: a.b -> a_b
-                flat = {}
-                for k, v in p.items():
-                    if isinstance(v, dict) and k != "meta":
-                        for k2, v2 in v.items():
-                            flat[f"{k}_{k2}"] = v2
-                    else:
-                        flat[k] = v
-                # tool_meta_* -> tool_* (target column names)
-                for k in list(flat):
-                    if k.startswith("tool_meta_"):
-                        flat["tool_" + k[len("tool_meta_"):]] = flat.pop(k)
-                if "text" in flat and flat["text"] is not None:
-                    flat["text"] = canonical_text(flat["text"])
-                for c in payload_cols:
-                    cols[c][i] = flat.get(c)
+                if ops[i] != "delete" and payloads[i] is not None:
+                    parsed[i] = loads(payloads[i])
+            cols: dict[str, list] = {}
+            for c, paths in specs:
+                col: list = [None] * n
+                for i in range(n):
+                    p = parsed[i]
+                    if p is None:
+                        continue
+                    for path in paths:
+                        v = p
+                        for k in path:
+                            if isinstance(v, dict) and k in v:
+                                v = v[k]
+                            else:
+                                v = None
+                                break
+                        if v is not None:
+                            col[i] = v
+                            break
+                if c == "text":
+                    col = [canonical_text(v) if v is not None else None for v in col]
+                cols[c] = col
             res = pd.DataFrame({**out, **cols, **{c: pdf[c] for c in passthrough}})
             for f_ in out_schema.fields:
                 if isinstance(f_.dataType, T.TimestampNTZType) and f_.name in payload_cols:

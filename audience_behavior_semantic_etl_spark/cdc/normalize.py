@@ -16,14 +16,23 @@ import re
 import unicodedata
 
 _CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-_TRAIL = re.compile(r"[ \t]+(\n|$)")
+# trailing whitespace before a newline or end — MULTILINE $ instead of a
+# captured backreference: the \1 template forced expand_template per
+# match and was the single hottest call in the apply profile
+_TRAIL = re.compile(r"[ \t]+$", re.MULTILINE)
+# any character that forces the slow path
+_DIRTY = re.compile(r"[\r\x00-\x08\x0b\x0c\x0e-\x1f\x7f]|[ \t]+(?=\n|$)")
 
 
 def canonical_text(s: str | None) -> str | None:
     if s is None:
         return None
+    # fast path: already-canonical text (most real-world rows) costs one
+    # scan + the NFC quick check
+    if unicodedata.is_normalized("NFC", s) and _DIRTY.search(s) is None:
+        return s
     s = unicodedata.normalize("NFC", s)
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _CTRL.sub("", s)
-    s = _TRAIL.sub(r"\1", s)
+    s = _TRAIL.sub("", s)
     return s
