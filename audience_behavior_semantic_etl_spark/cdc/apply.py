@@ -329,9 +329,6 @@ def apply_batch(
             ),
             F.count(F.lit(1)).alias("written"),
         ]
-        obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
-        data = data.observe(obs, *metric_exprs)
-
         # -- ONE salted bucket shuffle, THEN Arrow normalize ---------------
         # (normalize placed post-shuffle: parallelism = shuffle_n
         # regardless of source layout; its output stays in-partition for
@@ -354,6 +351,12 @@ def apply_batch(
         # (bucket, salt, conv_id) balance by sampling AND split a hot
         # bucket/conversation across tasks.
         data = data.repartitionByRange(shuffle_n, "__bucket", "__salt", "conv_id").drop("__salt")
+        # The metrics node sits ABOVE the range exchange: the range
+        # partitioner's sampling pass re-executes the plan BELOW the
+        # exchange, and an observation placed there fires twice
+        # (measured n=2 for a 1-row result).
+        obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
+        data = data.observe(obs, *metric_exprs)
 
         out_schema = winners_schema(table)
         final_rows = data.mapInPandas(

@@ -314,3 +314,20 @@ def test_gc_orphans_keeps_window_drops_rest(spark, tmp_path):
         table.manifest(version=0)
     # the pre-compaction delta files are gone from disk
     assert deleted, "expected orphaned delta files to be removed"
+
+
+def test_adaptive_in_batch_dedup_engages_on_churn(spark, tmp_path):
+    """A batch with events/key above the churn threshold pre-collapses
+    in-batch (deduped=True) and writes one row per key; a low-churn
+    batch appends as-is (deduped=False)."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    churn = _mk_events([(i, "insert" if i == 1 else "update", f"V{i}") for i in range(1, 11)])
+    m = apply_batch(_envelope_df(spark, churn), table, 0)
+    assert m.deduped is True
+    assert m.dedup_dropped == 9, "10 versions of one key must collapse to 1"
+    assert list(table.read_final().toPandas()["text"]) == ["V10"]
+
+    low = _mk_events([(20, "update", "W")])
+    m2 = apply_batch(_envelope_df(spark, low), table, 1)
+    assert m2.deduped is False and m2.dedup_dropped == 0
+    assert list(table.read_final().toPandas()["text"]) == ["W"]
