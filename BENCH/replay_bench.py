@@ -33,18 +33,18 @@ WAL_CHUNKS = 256
 FILES_PER_TRIGGER = 64  # -> 4 micro-batches over the full log
 
 
-def wal_cache_dir(seed: int, convs: int) -> str:
-    key = hashlib.md5(f"v2|{seed}|{convs}|{WAL_CHUNKS}".encode()).hexdigest()[:12]
+def wal_cache_dir(seed: int, convs: int, hot_mult: int) -> str:
+    key = hashlib.md5(f"v2|{seed}|{convs}|{WAL_CHUNKS}|{hot_mult}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"cdc-bench-wal-{key}")
 
 
-def ensure_wal(spark, seed: int, convs: int) -> tuple[str, int]:
+def ensure_wal(spark, seed: int, convs: int, hot_mult: int = 40) -> tuple[str, int]:
     """Generate the WAL once (distributed spark generator — see
     cdc/gen_spark.py; its replay contract is pinned to the pandas
     oracle by test_spark_generator_replay_matches_oracle); reuse the
     cached files across runs and parallelism levels so both levels see
     byte-identical input. Returns (wal_dir, n_events)."""
-    d = wal_cache_dir(seed, convs)
+    d = wal_cache_dir(seed, convs, hot_mult)
     meta = d + ".meta.json"  # sibling: the WAL dir must stay pure parquet
     if os.path.exists(meta) and os.path.isdir(d):
         with open(meta) as f:
@@ -56,7 +56,7 @@ def ensure_wal(spark, seed: int, convs: int) -> tuple[str, int]:
 
     tmp = d + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    log = generate_change_log_spark(spark, seed=seed, n_convs=convs)
+    log = generate_change_log_spark(spark, seed=seed, n_convs=convs, hot_update_mult=hot_mult)
     write_wal_chunks_spark(log, tmp, n_chunks=WAL_CHUNKS)
     n = spark.read.parquet(tmp).count()
     shutil.rmtree(d, ignore_errors=True)
@@ -90,6 +90,11 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--check", action="store_true", help="duckdb key-set sanity check")
+    ap.add_argument(
+        "--hot-mult", type=int, default=40,
+        help="update-churn multiplier for hot conversations (skew stress; "
+             "a large value concentrates a big share of the batch on a few keys)",
+    )
     args = ap.parse_args()
 
     from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig
@@ -123,7 +128,7 @@ def main() -> int:
     )
     work = tempfile.mkdtemp(prefix=f"cdc-bench-{args.cpus}-", dir=shm)
     try:
-        wal, n_events = ensure_wal(spark, args.seed, args.convs)
+        wal, n_events = ensure_wal(spark, args.seed, args.convs, args.hot_mult)
 
         # warm the JVM + python workers outside the timed window
         spark.read.parquet(wal).limit(1000).mapInPandas(
@@ -155,6 +160,8 @@ def main() -> int:
             "secs": round(secs, 3),
             "events_per_sec": round(applied / secs, 1),
             "batch_secs": [round(m.seconds, 3) for m in run.metrics],
+            "hot_keys_seen": int(sum(m.hot_keys for m in run.metrics)),
+            "hot_mult": args.hot_mult,
         }
         if args.check:
             expected = duckdb_expected_keys(wal)
