@@ -188,6 +188,18 @@ class BatchMetrics:
     phases: dict | None = None  # phase -> seconds (spool/stats/census/write/commit/compact)
 
 
+def _needs_spool(df: DataFrame) -> bool:
+    """True when the batch is NOT file-backed — i.e. the streaming
+    source's row-based ExistingRDD/LogicalRDD, which every job would
+    otherwise recompute without vectorization or pruning. File-backed
+    batches (direct batch API, tests) are consumed as-is."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return ("ExistingRDD" in plan) or ("LogicalRDD" in plan)
+
+
 def apply_batch(
     events_raw: DataFrame,
     table: SnapshotTable,
@@ -224,9 +236,11 @@ def apply_batch(
         phases[name] = round(now - _t, 3)
         _t = now
 
-    spool = table.new_staging_dir()
-    events_raw.write.mode("overwrite").parquet(spool)
-    events_raw = spark.read.schema(S.ENVELOPE_SCHEMA).parquet(spool)
+    spool = None
+    if _needs_spool(events_raw):
+        spool = table.new_staging_dir()
+        events_raw.write.mode("overwrite").parquet(spool)
+        events_raw = spark.read.schema(S.ENVELOPE_SCHEMA).parquet(spool)
     _phase("spool")
     stats = None
     try:
@@ -429,6 +443,7 @@ def apply_batch(
             phases=phases,
         )
     finally:
-        _shutil.rmtree(spool, ignore_errors=True)
+        if spool is not None:
+            _shutil.rmtree(spool, ignore_errors=True)
         if stats is not None:
             stats.unpersist()
