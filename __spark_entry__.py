@@ -78,13 +78,30 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.round(F.sum("l_quantity"), 2),
-            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
-            "sum_disc_price": F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # additive money/qty aggregates accumulate in DECIMAL so the
+            # result is independent of partitioning/merge order — a pure
+            # double sum differs from the oracle in the last ulp at
+            # sf0.1+ and can cross the rounding boundary
+            "sum_qty": F.round(F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double"), 2),
+            "sum_base_price": F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double"), 2
             ),
-            "avg_qty": F.round(F.avg("l_quantity"), 2),
-            "avg_price": F.round(F.avg("l_extendedprice"), 2),
+            "sum_disc_price": F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+                ).cast("double"),
+                2,
+            ),
+            "avg_qty": F.round(
+                F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ),
+            "avg_price": F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ),
             "count_order": F.count(F.lit(1)),
             "n_parts": F.count_distinct(F.col("l_partkey")),
         },
@@ -125,7 +142,9 @@ def q_join_equi_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("double"), 2).alias(
+                "revenue"
+            ),
         )
         .orderBy("c_mktsegment")
     )
@@ -398,7 +417,12 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("yr", F.year("o_orderdate"))
         .rollup("yr", "o_orderpriority")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("double"), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
             F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
             F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
@@ -636,10 +660,13 @@ def q_metric_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "margin": "gross_price - net_price",
         },
     )
+    # decimal accumulation: order-independent sums (see q_pricing_summary)
     return out.groupBy("l_returnflag").agg(
-        F.round(F.sum("net_price"), 2).alias("sum_net"),
-        F.round(F.sum("gross_price"), 2).alias("sum_gross"),
-        F.round(F.sum("margin"), 2).alias("sum_margin"),
+        F.round(F.sum(F.col("net_price").cast("decimal(24,8)")).cast("double"), 2).alias("sum_net"),
+        F.round(F.sum(F.col("gross_price").cast("decimal(24,8)")).cast("double"), 2).alias(
+            "sum_gross"
+        ),
+        F.round(F.sum(F.col("margin").cast("decimal(24,8)")).cast("double"), 2).alias("sum_margin"),
     )
 
 
@@ -790,11 +817,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2)      AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 2)      AS avg_qty,
-                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 2)      AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / count(*), 2)      AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) / count(*), 2) AS avg_price,
                    count(*)                       AS count_order,
                    count(DISTINCT l_partkey)      AS n_parts
             FROM lineitem
@@ -818,7 +845,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_equi_broadcast": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
@@ -912,7 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_revenue": """
             SELECT CAST(coalesce(yr, -1) AS INTEGER) AS yr,
                    coalesce(o_orderpriority, 'ALL') AS priority,
-                   round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue, count(*) AS n
             FROM (SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderpriority, o_totalprice
                   FROM orders)
             GROUP BY ROLLUP(yr, o_orderpriority)
@@ -1150,9 +1177,9 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
             SELECT l_returnflag,
-                   round(sum(net_price), 2) AS sum_net,
-                   round(sum(gross_price), 2) AS sum_gross,
-                   round(sum(gross_price - net_price), 2) AS sum_margin
+                   round(CAST(sum(CAST(net_price AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_net,
+                   round(CAST(sum(CAST(gross_price AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_gross,
+                   round(CAST(sum(CAST(gross_price - net_price AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_margin
             FROM m GROUP BY l_returnflag
         """,
         # LSH ANN: identical deterministic hyperplanes inlined; bucket
