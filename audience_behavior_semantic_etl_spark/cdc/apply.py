@@ -72,6 +72,11 @@ class ApplyConfig:
     shuffle_partitions: int | None = None  # default: session setting
     compact_max_files: int = 8  # per-bucket delta files before compaction
     auto_compact: bool = True
+    # poison-message policy: "fail" stops the stream on the first
+    # malformed payload (no silent loss — the safe default);
+    # "quarantine" drops malformed upserts from the table, counts them
+    # in BatchMetrics.malformed, and keeps the stream alive
+    on_malformed: str = "fail"
     # in-batch pre-collapse engages when batch events/key exceeds this
     # (read-side LWW makes it optional; it only pays off under churn)
     dedup_churn_threshold: float = 4.0
@@ -84,7 +89,11 @@ def winners_schema(table: SnapshotTable) -> T.StructType:
     return S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
 
 
-def make_winner_normalizer(out_schema: T.StructType, passthrough: tuple[str, ...] = ()):
+def make_winner_normalizer(
+    out_schema: T.StructType,
+    passthrough: tuple[str, ...] = (),
+    on_malformed: str = "fail",
+):
     """Arrow-batched envelope normalizer.
 
     Upsert rows get their JSON after-image parsed and flattened
@@ -126,9 +135,15 @@ def make_winner_normalizer(out_schema: T.StructType, passthrough: tuple[str, ...
                 S.DELETED_META_COL: pd.Series(ops == "delete", index=pdf.index),
             }
             parsed: list = [None] * n
+            malformed = [0] * n
             for i in range(n):
                 if ops[i] != "delete" and payloads[i] is not None:
-                    parsed[i] = loads(payloads[i])
+                    try:
+                        parsed[i] = loads(payloads[i])
+                    except ValueError:
+                        if on_malformed == "fail":
+                            raise
+                        malformed[i] = 1
             cols: dict[str, list] = {}
             for c, paths in specs:
                 col: list = [None] * n
@@ -150,13 +165,15 @@ def make_winner_normalizer(out_schema: T.StructType, passthrough: tuple[str, ...
                 if c == "text":
                     col = [canonical_text(v) if v is not None else None for v in col]
                 cols[c] = col
-            res = pd.DataFrame({**out, **cols, **{c: pdf[c] for c in passthrough}})
+            res = pd.DataFrame(
+                {**out, **cols, "__malformed": malformed, **{c: pdf[c] for c in passthrough}}
+            )
             for f_ in out_schema.fields:
                 if isinstance(f_.dataType, T.TimestampNTZType) and f_.name in payload_cols:
                     res[f_.name] = pd.to_datetime(res[f_.name], format="ISO8601")
                 elif isinstance(f_.dataType, T.LongType) and f_.name in payload_cols:
                     res[f_.name] = pd.to_numeric(res[f_.name]).astype("Int64")
-            yield res[[f.name for f in out_schema.fields] + list(passthrough)]
+            yield res[[f.name for f in out_schema.fields] + ["__malformed"] + list(passthrough)]
 
     return normalize
 
@@ -185,6 +202,7 @@ class BatchMetrics:
     skipped: bool = False
     compacted_buckets: int = 0
     deduped: bool = False
+    malformed: int = 0
     phases: dict | None = None  # phase -> seconds (spool/stats/census/write/commit/compact)
 
 
@@ -374,9 +392,22 @@ def apply_batch(
 
         out_schema = winners_schema(table)
         final_rows = data.mapInPandas(
-            make_winner_normalizer(out_schema, passthrough=("__bucket",)),
-            schema=T.StructType(out_schema.fields + [T.StructField("__bucket", T.IntegerType())]),
+            make_winner_normalizer(
+                out_schema, passthrough=("__bucket",), on_malformed=cfg.on_malformed
+            ),
+            schema=T.StructType(
+                out_schema.fields
+                + [
+                    T.StructField("__malformed", T.IntegerType()),
+                    T.StructField("__bucket", T.IntegerType()),
+                ]
+            ),
         )
+        obs_mf = Observation(f"malformed-{batch_id}-{uuid.uuid4().hex[:8]}")
+        final_rows = final_rows.observe(
+            obs_mf, F.coalesce(F.sum("__malformed"), F.lit(0)).alias("malformed")
+        )
+        final_rows = final_rows.filter(F.col("__malformed") == 0).drop("__malformed")
 
         staged = table.new_staging_dir()
         (
@@ -394,6 +425,10 @@ def apply_batch(
             row_metrics = obs.get
         except Exception:
             row_metrics = data.agg(*metric_exprs).collect()[0].asDict()
+        try:
+            n_malformed = int(obs_mf.get["malformed"] or 0)
+        except Exception:
+            n_malformed = 0
         _phase("write")
 
         snapshot = table.commit_append_deltas(
@@ -411,6 +446,7 @@ def apply_batch(
                 "lsn_max": int(lsn_max),
                 "hot_keys": len(hot),
                 "deduped": bool(deduped),
+                "malformed": n_malformed,
             },
         )
 
@@ -441,6 +477,7 @@ def apply_batch(
             compacted_buckets=compacted,
             deduped=deduped,
             phases=phases,
+            malformed=n_malformed,
         )
     finally:
         if spool is not None:

@@ -331,3 +331,24 @@ def test_adaptive_in_batch_dedup_engages_on_churn(spark, tmp_path):
     m2 = apply_batch(_envelope_df(spark, low), table, 1)
     assert m2.deduped is False and m2.dedup_dropped == 0
     assert list(table.read_final().toPandas()["text"]) == ["W"]
+
+
+def test_malformed_payload_policy(spark, tmp_path):
+    """Poison messages: default policy fails the batch loudly; the
+    quarantine policy drops the malformed upsert, counts it, and keeps
+    the rest of the batch."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    pdf = _mk_events([(1, "insert", "GOOD"), (2, "insert", "ignored")])
+    pdf.loc[1, "payload"] = "{not json"
+    pdf.loc[1, "turn_idx"] = 1
+
+    with pytest.raises(Exception):
+        apply_batch(_envelope_df(spark, pdf), table, 0)
+
+    table2 = SnapshotTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
+    m = apply_batch(
+        _envelope_df(spark, pdf), table2, 0, ApplyConfig(on_malformed="quarantine")
+    )
+    assert m.malformed == 1
+    got = table2.read_final().toPandas()
+    assert list(got["text"]) == ["GOOD"], "well-formed rows must still apply"
