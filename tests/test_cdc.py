@@ -352,3 +352,40 @@ def test_malformed_payload_policy(spark, tmp_path):
     assert m.malformed == 1
     got = table2.read_final().toPandas()
     assert list(got["text"]) == ["GOOD"], "well-formed rows must still apply"
+
+
+def test_watermarks_monotone_per_source_part(spark, small_log, tmp_path):
+    """Snapshot watermarks advance monotonically per source partition
+    and end at each part's max lsn."""
+    log, _ = small_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_envelope_df(spark, log), table, 0)
+    wm = table.manifest().properties["watermarks"]
+    data = log[log["op"] != "schema_change"]
+    expect = data.groupby("source_part")["lsn"].max().to_dict()
+    assert {int(k): v for k, v in wm.items()} == {int(k): int(v) for k, v in expect.items()}
+
+
+def test_empty_wal_stream_noops(spark, tmp_path):
+    import os
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    run = run_wal_stream(spark, wal, table, str(tmp_path / "ckpt"))
+    assert run.error is None
+    assert table.read_final().count() == 0
+
+
+def test_two_apps_track_exactly_once_independently(spark, tmp_path):
+    """committed_batches is per app_id: a backfill app and a live app
+    can interleave on one table; each no-ops only its own batch ids."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    live = ApplyConfig(app_id="live")
+    backfill = ApplyConfig(app_id="backfill")
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "A")])), table, 0, live)
+    m = apply_batch(_envelope_df(spark, _mk_events([(2, "update", "B")])), table, 0, backfill)
+    assert not m.skipped, "same batch id under a different app must apply"
+    m2 = apply_batch(_envelope_df(spark, _mk_events([(3, "update", "C")])), table, 0, live)
+    assert m2.skipped, "live's batch 0 already committed"
+    assert list(table.read_final().toPandas()["text"]) == ["B"]
