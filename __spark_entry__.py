@@ -683,6 +683,32 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dim=64, k=5, n_planes=6)
 
 
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (the canonical custom temporal operator Spark lacks,
+    operators.joins.as_of_join): each click event gets the latest
+    purchase value by the same user at-or-before its timestamp — ONE
+    shuffle via union+window, not a theta join. Oracle: DuckDB's native
+    ASOF JOIN."""
+    from audience_behavior_semantic_etl_spark.operators.joins import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    # unique (user, ts) on the right side => deterministic match
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = as_of_join(clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+                     value_cols=["pvalue"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.round(F.col("asof_pvalue"), 2).alias("last_purchase_value"),
+    )
+
+
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: event-time tumbling window + watermark
     drained with availableNow — the engine's incremental-cube op
@@ -738,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_enrich_geoip": q_enrich_geoip,
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_as_of_join": q_as_of_join,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
 
@@ -1186,6 +1213,20 @@ def oracle_sql() -> dict[str, str]:
         # bit p = 1 iff dot(v, plane_p) >= 0 (double accumulation in
         # array order on both engines)
         "q_ann_lsh_topk": _lsh_ann_sql(dim=64, n_planes=6, k=5),
+        # AS-OF join: DuckDB's native ASOF JOIN is the oracle
+        "q_as_of_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ), purchases AS (
+              SELECT user_id, ts, max(value) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   round(p.pvalue, 2) AS last_purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
         # streaming tumbling window: finished availableNow result ==
         # batch GROUP BY of hour buckets
         "q_stream_tumbling_counts": """

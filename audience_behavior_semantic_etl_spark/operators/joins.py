@@ -77,3 +77,61 @@ def perform_join_ex(
     if broadcast:
         r = F.broadcast(r)
     return l.join(r, condition, how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """AS-OF join: for every left row, the right row with the largest
+    ``right_ts <= left_ts`` for the same key (null if none). Spark has
+    no native ASOF; the naive theta-join + window is O(matches). This
+    is the scalable union+window form — ONE shuffle on the key, state
+    carried by ``last(..., ignorenulls)`` over the merged timeline:
+
+        union(tagged left, tagged right)
+          -> window per key ordered by (ts, right-before-left)
+          -> carry the latest right values forward
+          -> keep left rows
+
+    Right rows must be unique per (key, right_ts) for a deterministic
+    result (pre-aggregate if not). DuckDB's native ASOF JOIN reproduces
+    the semantics as the oracle.
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+    )
+    u = l.unionByName(r)
+    # right rows sort BEFORE left rows at equal ts => right_ts <= left_ts
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols]
+    )
