@@ -709,6 +709,28 @@ def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min gap) — the
+    built-in counterpart of our window-algebra sessionize (§2.7); the
+    DuckDB oracle recomputes sessions with lag+cumsum, so the engine's
+    two sessionizers and the oracle all agree on boundaries."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts").cast("timestamp"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: event-time tumbling window + watermark
     drained with availableNow — the engine's incremental-cube op
@@ -765,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_as_of_join": q_as_of_join,
+        "q_session_window_native": q_session_window_native,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
 
@@ -1213,6 +1236,28 @@ def oracle_sql() -> dict[str, str]:
         # bit p = 1 iff dot(v, plane_p) >= 0 (double accumulation in
         # array order on both engines)
         "q_ann_lsh_topk": _lsh_ann_sql(dim=64, n_planes=6, k=5),
+        # native session_window: oracle recomputes sessions via lag+cumsum;
+        # Spark's session end = last event ts + gap
+        "q_session_window_native": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE OR
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
         # AS-OF join: DuckDB's native ASOF JOIN is the oracle
         "q_as_of_join": """
             WITH clicks AS (
