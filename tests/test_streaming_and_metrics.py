@@ -88,3 +88,27 @@ def test_etl_process_dag(spark, tmp_path):
     bad2 = ETLStep("b", "", lambda d: d["a"], inputs=("a",))
     with _pytest.raises(ValueError, match="cycle"):
         ETLProcess([bad, bad2]).topo_order()
+
+
+def test_stateful_running_counts(spark, tmp_path):
+    """applyInPandasWithState carries per-key state ACROSS micro-batches:
+    final running totals equal the batch group-by, with multiple batches
+    forced via maxFilesPerTrigger-sized chunks."""
+    from audience_behavior_semantic_etl_spark.cdc.gen import (
+        GenConfig,
+        generate_change_log,
+        write_wal_chunks,
+    )
+    from audience_behavior_semantic_etl_spark.streaming.stateful import running_turn_counts
+
+    log = generate_change_log(GenConfig(seed=5, n_convs=15))
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=4)
+
+    got = {
+        r["conv_id"]: r["n_turns_total"] for r in running_turn_counts(spark, wal).collect()
+    }
+    expect = (
+        log[log["op"] != "schema_change"].groupby("conv_id").size().to_dict()
+    )
+    assert got == expect
