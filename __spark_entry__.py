@@ -172,7 +172,10 @@ def q_join_theta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("su_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("p_value"), 2).alias("attributed_value"),
+            # decimal accumulation: order-independent sum (see q_pricing_summary)
+            F.round(F.sum(F.col("p_value").cast("decimal(20,6)")).cast("double"), 2).alias(
+                "attributed_value"
+            ),
         )
         .orderBy("user_id")
     )
@@ -212,7 +215,13 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumns(parts)
         .groupBy("sd_year", "sd_month")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # decimal accumulation: order-independent sum (see q_pricing_summary)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("double"), 2).alias(
+                "revenue"
+            ),
+        )
         .orderBy("sd_year", "sd_month")
     )
 
@@ -267,15 +276,20 @@ def q_conversion_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup with a conditional distinct-user count."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias(
-            "rev"
-        ),
+        # decimal accumulation at BOTH levels: order-independent sums
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .cast("decimal(20,6)")
+        )
+        .cast("double")
+        .alias("rev"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return per_user.select(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(F.when(F.col("rev") > 0, 1).otherwise(0)).alias("n_converted"),
-        F.round(F.sum("rev"), 2).alias("total_rev"),
+        F.round(F.sum(F.col("rev").cast("decimal(20,6)")).cast("double"), 2).alias("total_rev"),
     )
 
 
@@ -394,7 +408,13 @@ def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("c_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
-        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        # decimal accumulation: order-independent sum (see q_pricing_summary)
+        F.round(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)")).cast("double"), F.lit(0.0)
+            ),
+            2,
+        ).alias("revenue"),
     )
 
 
@@ -557,10 +577,15 @@ def q_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice")).alias("items")
     )
     flat = flatten_array_field(packed, "items", prefix="it_")
+    # decimal accumulation: order-independent sums (see q_pricing_summary)
     return flat.groupBy("l_orderkey").agg(
         F.count("it_l_linenumber").alias("n_items"),
-        F.round(F.sum("it_l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("it_l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum(F.col("it_l_quantity").cast("decimal(20,6)")).cast("double"), 2).alias(
+            "sum_qty"
+        ),
+        F.round(F.sum(F.col("it_l_extendedprice").cast("decimal(20,6)")).cast("double"), 2).alias(
+            "sum_price"
+        ),
     )
 
 
@@ -901,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_theta_attribution": """
             SELECT s.user_id AS user_id, count(*) AS n_pairs,
-                   round(sum(p.value), 2) AS attributed_value
+                   round(CAST(sum(CAST(p.value AS DECIMAL(20,6))) AS DOUBLE), 2) AS attributed_value
             FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
             JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
               ON s.user_id = p.user_id AND s.ts < p.ts
@@ -941,7 +966,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS sd_year,
                    CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS sd_month,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
             FROM orders GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_sum_maps": """
@@ -965,15 +990,16 @@ def oracle_sql() -> dict[str, str]:
         "q_conversion_two_level": """
             SELECT count(*) AS n_users,
                    CAST(sum(CASE WHEN rev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
-                   round(sum(rev), 2) AS total_rev
+                   round(CAST(sum(CAST(rev AS DECIMAL(20,6))) AS DOUBLE), 2) AS total_rev
             FROM (SELECT user_id,
-                         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev,
+                         CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                                       AS DECIMAL(20,6))) AS DOUBLE) AS rev,
                          count(*) AS n_events
                   FROM events GROUP BY user_id)
         """,
         "q_join_left_outer": """
             SELECT c_custkey, count(o_orderkey) AS n_orders,
-                   round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+                   round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 0.0), 2) AS revenue
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
         """,
@@ -1055,8 +1081,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_flatten_roundtrip": """
             SELECT l_orderkey, count(*) AS n_items,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_price
             FROM lineitem GROUP BY l_orderkey
         """,
         "q_rename_nested": """

@@ -284,6 +284,15 @@ def apply_batch(
                 F.max("lsn_max").alias("lsn_max"),
                 F.sum("n_sc").alias("n_sc"),
                 F.sum("n_keys").alias("n_keys"),
+                # data rows with a NULL key: legal only for schema_change
+                # (ENVELOPE_SCHEMA); a null-key upsert/delete can never be
+                # merged and MUST NOT be silently dropped (the census
+                # assigns buckets by conv_id, so these rows would stage
+                # into no adopted bucket) — they fall under the
+                # poison-message policy below.
+                F.sum(
+                    F.when(F.col("conv_id").isNull(), F.col("n") - F.col("n_sc")).otherwise(0)
+                ).alias("n_nullkey"),
             )
             .collect()
         )
@@ -306,6 +315,16 @@ def apply_batch(
         lsn_min = min(r["lsn_min"] for r in part_stats)
         lsn_max = max(r["lsn_max"] for r in part_stats)
         n_data = n_events - n_sc
+        # -- poison-message policy for null-key data events ----------------
+        n_nullkey = sum(r["n_nullkey"] for r in part_stats)
+        if n_nullkey > 0:
+            if cfg.on_malformed == "fail":
+                raise ValueError(
+                    f"batch {batch_id}: {n_nullkey} data event(s) with NULL "
+                    "conv_id (only schema_change may omit the key); refusing "
+                    "to apply — set on_malformed='quarantine' to drop+count"
+                )
+            n_data -= int(n_nullkey)
         # approx distinct (conv, turn) keys in the batch (conv lives in
         # exactly one source_part, so per-conv approx counts sum cleanly)
         n_keys = max(1, sum(r["n_keys"] for r in part_stats))
@@ -342,6 +361,8 @@ def apply_batch(
         data = events_raw.filter(F.col("op") != "schema_change").select(
             "conv_id", "turn_idx", "lsn", "op", "payload"
         )
+        if n_nullkey > 0:  # quarantine mode (fail already raised above)
+            data = data.filter(F.col("conv_id").isNotNull())
 
         # -- adaptive in-batch pre-collapse (high churn only) -------------
         deduped = n_data / n_keys > cfg.dedup_churn_threshold
@@ -429,6 +450,7 @@ def apply_batch(
             n_malformed = int(obs_mf.get["malformed"] or 0)
         except Exception:
             n_malformed = 0
+        n_malformed += int(n_nullkey)  # quarantined null-key events
         _phase("write")
 
         snapshot = table.commit_append_deltas(

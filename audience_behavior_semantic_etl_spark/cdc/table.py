@@ -403,12 +403,23 @@ class SnapshotTable:
             buckets, purge_tombstones_below_lsn=below_lsn, shuffle_partitions=shuffle_partitions
         )
 
-    def gc_orphans(self, keep_versions: int = 3) -> list[str]:
+    def gc_orphans(
+        self, keep_versions: int = 3, staging_grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data files referenced by NO manifest within the last
         ``keep_versions`` committed versions (and drop older manifests).
         Time travel stays available for the kept window; everything
         older becomes unreadable — the Iceberg expire-snapshots +
-        remove-orphan-files maintenance pair. Returns deleted paths."""
+        remove-orphan-files maintenance pair. Returns deleted paths.
+
+        Staging dirs are only reclaimed when their mtime is older than
+        ``staging_grace_seconds``: a dir younger than the grace window
+        may belong to an apply/compaction that is mid-write in another
+        process, and deleting it would make the in-flight commit adopt
+        an empty file list while exactly-once tracking still marks the
+        batch committed — permanent silent loss. An hour-old staging
+        dir can only be a crashed writer (a healthy batch commits in
+        seconds). Pass 0 only when the caller KNOWS no writer is live."""
         cur = self.manifest().version
         keep = range(max(0, cur - keep_versions + 1), cur + 1)
         referenced: set[str] = set()
@@ -431,11 +442,20 @@ class SnapshotTable:
             v = int(fn[1:-5])  # v{N}.json
             if v < keep.start:
                 os.remove(os.path.join(man_dir, fn))
-        # clear abandoned staging dirs (crashed writes)
+        # clear abandoned staging dirs (crashed writes) — but only past
+        # the grace window, never an in-flight writer's dir (see docstring)
+        import time as _time
+
         staging = os.path.join(self.root, "_staging")
         if os.path.isdir(staging):
+            cutoff = _time.time() - staging_grace_seconds
             for d in os.listdir(staging):
-                shutil.rmtree(os.path.join(staging, d), ignore_errors=True)
+                p = os.path.join(staging, d)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    continue
         return deleted
 
     # ------------------------------------------------------------ metrics

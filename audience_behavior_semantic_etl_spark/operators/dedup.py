@@ -120,7 +120,15 @@ def minhash_signature(hs: Column, n_hashes: int = 16) -> Column:
 
 def lsh_band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     """Band keys: band id || concatenated signature slice. Docs sharing
-    any band key are candidate pairs."""
+    any band key are candidate pairs.
+
+    ⚠ Null-signature contract: callers MUST exclude zero-shingle
+    documents before banding (``size(sh) > 0``). Their signatures are
+    all-null, and ``concat_ws`` SKIPS nulls — every empty document would
+    get the identical keys '0','1',... and pair with every other empty
+    document (and the SQL oracle's ``'0|' || NULL`` yields NULL keys,
+    emitting no pair at all — a silent parity break).
+    ``minhash_lsh_candidates`` applies the filter."""
     keys = [
         F.concat_ws(
             "|",
@@ -203,8 +211,14 @@ def minhash_lsh_candidates(
     with the count of bands in which they collide). The scale path:
     shuffle only on band keys; exact Jaccard verification then runs on
     this (tiny) candidate set instead of all n² pairs."""
-    hs = shingled(df, text_col, id_col, k).select(
-        "id", shingle_hashes(F.col("sh")).alias("hs")
+    # zero-shingle docs are excluded: their all-null signatures would
+    # otherwise collapse into one universal band bucket (see
+    # lsh_band_keys). An empty doc has no shingles, hence Jaccard 0 to
+    # everything — dropping it loses no true candidate.
+    hs = (
+        shingled(df, text_col, id_col, k)
+        .filter(F.size("sh") > 0)
+        .select("id", shingle_hashes(F.col("sh")).alias("hs"))
     )
     sig = hs.select("id", minhash_signature(F.col("hs"), n_bands * rows_per_band).alias("sig"))
     # Persist the (small) banded keys: the self-join consumes them twice,

@@ -354,6 +354,47 @@ def test_malformed_payload_policy(spark, tmp_path):
     assert list(got["text"]) == ["GOOD"], "well-formed rows must still apply"
 
 
+def test_null_key_data_event_policy(spark, tmp_path):
+    """A data event with NULL conv_id (legal only for schema_change)
+    must never be silently lost: default policy fails the batch; the
+    quarantine policy drops it, counts it in malformed, and applies the
+    rest — and lineage/metrics never claim it as an applied upsert."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    pdf = _mk_events([(1, "insert", "GOOD"), (2, "insert", "NULLKEY")])
+    pdf.loc[1, "conv_id"] = None
+
+    with pytest.raises(ValueError, match="NULL"):
+        apply_batch(_envelope_df(spark, pdf), table, 0)
+
+    table2 = SnapshotTable.create(spark, str(tmp_path / "t2"), n_buckets=4)
+    m = apply_batch(
+        _envelope_df(spark, pdf), table2, 0, ApplyConfig(on_malformed="quarantine")
+    )
+    assert m.malformed == 1
+    assert m.upserts == 1, "the null-key row must not count as applied"
+    got = table2.read_final().toPandas()
+    assert list(got["text"]) == ["GOOD"]
+    assert table2.lineage()[-1]["upserts"] == 1
+
+
+def test_gc_orphans_spares_fresh_staging_dirs(spark, tmp_path):
+    """gc_orphans must not delete a staging dir younger than the grace
+    window (it may belong to an in-flight writer), but reclaims one
+    older than the window."""
+    import os
+    import time
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "A")])), table, 0)
+    fresh = table.new_staging_dir()
+    stale = table.new_staging_dir()
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    table.gc_orphans(staging_grace_seconds=3600.0)
+    assert os.path.isdir(fresh), "in-flight staging dir must survive GC"
+    assert not os.path.isdir(stale), "crashed (old) staging dir is reclaimed"
+
+
 def test_watermarks_monotone_per_source_part(spark, small_log, tmp_path):
     """Snapshot watermarks advance monotonically per source partition
     and end at each part's max lsn."""
