@@ -347,11 +347,33 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(qs, emb, "embedding", "vec_id", k=5)
 
 
-def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from audience_behavior_semantic_etl_spark.operators.dedup import embedding_cosine_dups
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dedup SCALE path (operators.dedup.near_dedup_pairs):
+    MinHash+LSH candidates -> exact Jaccard verified on candidates ONLY
+    (array_intersect of shingle sets) — no all-pairs shingle self-join
+    anywhere in the plan. The oracle composes the identical band keys and
+    intersection, so LSH recall is part of the checked contract."""
+    from audience_behavior_semantic_etl_spark.operators.dedup import near_dedup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return embedding_cosine_dups(emb, "embedding", "vec_id", threshold=0.5)
+    return near_dedup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, n_bands=4, rows_per_band=2, threshold=0.1,
+    )
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, the SCALE path: equi-join on deterministic
+    sign-projection LSH buckets + in-bucket exact cosine — no cross
+    product in the plan (operators.dedup.embedding_cosine_dups_bucketed;
+    the all-pairs kernel remains as the small-scale baseline only)."""
+    from audience_behavior_semantic_etl_spark.operators.dedup import (
+        embedding_cosine_dups_bucketed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return embedding_cosine_dups_bucketed(
+        emb, "embedding", "vec_id", dim=64, threshold=0.3, n_planes=4
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_near": q_dedup_near,
         "q_dedup_simhash": q_dedup_simhash,
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_embedding_dups": q_embedding_dups,
@@ -885,6 +908,29 @@ def _lsh_ann_sql(dim: int, n_planes: int, k: int) -> str:
                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
               FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _emb_dups_sql(dim: int, n_planes: int, threshold: float, max_id: int) -> str:
+    """DuckDB reproduction of operators.dedup.embedding_cosine_dups_bucketed
+    with the SAME md5-derived hyperplanes inlined as literals."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import hyperplane
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, CAST({hyperplane(dim, p)} AS DOUBLE[])) >= 0 "
+        f"THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < {max_id}),
+        b AS (SELECT vec_id, v, {bits} AS bkt FROM e)
+        SELECT id_a, id_b, cos FROM (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 round(list_dot_product(a.v, b2.v)
+                       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos
+          FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+        WHERE cos >= {threshold}
     """
 
 
@@ -1155,6 +1201,33 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         """,
+        # composed near-dedup: same band keys as q_dedup_minhash_lsh,
+        # exact Jaccard via list_intersect on candidates ONLY
+        "q_dedup_near": f"""
+            WITH {_TOK_CTE}, {_SHINGLE_CTE},
+            sig AS ({_minhash_sql(8)}),
+            banded AS (
+              SELECT doc_id, unnest([
+                  '0|' || m0 || '|' || m1,
+                  '1|' || m2 || '|' || m3,
+                  '2|' || m4 || '|' || m5,
+                  '3|' || m6 || '|' || m7]) AS bk
+              FROM sig),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_hit
+              FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                         AS jaccard,
+                     c.n_bands_hit
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b)
+            SELECT id_a, id_b, jaccard, n_bands_hit FROM v WHERE jaccard >= 0.1
+        """,
         "q_dedup_simhash": f"""
             WITH {_TOK_CTE},
             hv AS (
@@ -1182,16 +1255,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 5
         """,
-        "q_embedding_dups": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings WHERE vec_id < 100)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
-                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.5
-        """,
+        # embedding near-dup via the SAME deterministic LSH buckets the
+        # engine uses (planes inlined); equi-join on bucket, in-bucket
+        # exact cosine — the oracle reproduces the recall loss too
+        "q_embedding_dups": _emb_dups_sql(dim=64, n_planes=4, threshold=0.3, max_id=200),
         "q_multimodal_features": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CASE CAST(doc_id % 3 AS INTEGER)

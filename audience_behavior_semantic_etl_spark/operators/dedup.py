@@ -199,26 +199,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    k: int = 3,
-    n_bands: int = 4,
-    rows_per_band: int = 4,
+def lsh_candidates_from_shingled(
+    sh_df: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash+LSH banding (id_a < id_b,
-    with the count of bands in which they collide). The scale path:
-    shuffle only on band keys; exact Jaccard verification then runs on
-    this (tiny) candidate set instead of all n² pairs."""
+    """Candidate pairs from an already-shingled ``(id, sh)`` frame —
+    the banding core shared by ``minhash_lsh_candidates`` and
+    ``near_dedup_pairs`` (so a caller that also needs the shingle sets
+    for verification computes them exactly once)."""
     # zero-shingle docs are excluded: their all-null signatures would
     # otherwise collapse into one universal band bucket (see
     # lsh_band_keys). An empty doc has no shingles, hence Jaccard 0 to
     # everything — dropping it loses no true candidate.
-    hs = (
-        shingled(df, text_col, id_col, k)
-        .filter(F.size("sh") > 0)
-        .select("id", shingle_hashes(F.col("sh")).alias("hs"))
+    hs = sh_df.filter(F.size("sh") > 0).select(
+        "id", shingle_hashes(F.col("sh")).alias("hs")
     )
     sig = hs.select("id", minhash_signature(F.col("hs"), n_bands * rows_per_band).alias("sig"))
     # Persist the (small) banded keys: the self-join consumes them twice,
@@ -233,6 +226,89 @@ def minhash_lsh_candidates(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash+LSH banding (id_a < id_b,
+    with the count of bands in which they collide). The scale path:
+    shuffle only on band keys; exact Jaccard verification then runs on
+    this (tiny) candidate set instead of all n² pairs (see
+    ``near_dedup_pairs`` for the composed operator)."""
+    return lsh_candidates_from_shingled(
+        shingled(df, text_col, id_col, k), n_bands, rows_per_band
+    )
+
+
+def near_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """END-TO-END near-duplicate detection, the composed scale path:
+    MinHash+LSH banding proposes candidate pairs (shuffle only on band
+    keys), then EXACT n-gram Jaccard is verified on those candidates
+    ONLY — via ``array_intersect`` of the two (distinct-)shingle sets,
+    never the all-pairs exploded self-join of ``ngram_jaccard_pairs``.
+
+    Output: (id_a, id_b, jaccard, n_bands_hit) for verified pairs with
+    jaccard >= threshold (id_a < id_b). Recall < 1 by LSH design; with
+    portable md5/affine hashing the miss set is deterministic and the
+    SQL oracle reproduces it bit-for-bit, so recall is part of the
+    checked contract.
+
+    Scale shape: |candidates| is output-sized, not n². The two
+    verification joins broadcast-or-shuffle candidate ids against the
+    shingle table; the shingle table is computed ONCE (persisted) and
+    feeds both the banding and the verification sides."""
+    sh_df = shingled(df, text_col, id_col, k).persist()
+    cand = lsh_candidates_from_shingled(sh_df, n_bands, rows_per_band)
+    a = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("__n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("__n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "n_bands_hit")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Survivor set after near-duplicate removal: greedy keep-smallest-id
+    — a document is dropped iff a verified near-dup with a smaller id
+    exists (deterministic, one anti-join; the standard large-corpus rule
+    that avoids iterative connected components)."""
+    pairs = near_dedup_pairs(df, text_col, id_col, k, n_bands, rows_per_band, threshold)
+    dropped = pairs.select(F.col("id_b").alias("__drop_id")).distinct()
+    return df.join(dropped, df[id_col] == dropped["__drop_id"], "left_anti")
 
 
 def simhash_bits_from_hashes(hv: Column, n_bits: int = 16) -> Column:
@@ -293,8 +369,10 @@ def embedding_cosine_dups(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, id_a < id_b.
-    Brute-force kernel (all-pairs) — at scale, bucket by an LSH of the
-    vector (see operators.similarity) and run this within buckets."""
+    Brute-force kernel (all-pairs) — the small-scale verification
+    baseline ONLY; the shipped scale path is
+    ``embedding_cosine_dups_bucketed`` (equi-join on LSH buckets,
+    no cross product)."""
     from audience_behavior_semantic_etl_spark.operators.similarity import cosine
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -302,6 +380,44 @@ def embedding_cosine_dups(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_cosine_dups_bucketed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, the SCALE path: sign-projection LSH
+    buckets (deterministic md5-derived hyperplanes shared with
+    operators.similarity), candidates = same-bucket pairs via an
+    EQUI-join on the bucket id, exact cosine check within buckets.
+
+    The all-pairs nested loop of ``embedding_cosine_dups`` is O(n²) in
+    comparisons AND a broadcast-nested-loop in the plan; this is a hash
+    join on 2^n_planes keys — near-identical vectors land in the same
+    bucket with high probability (each hyperplane splits them only if
+    it passes between them). Recall < 1 by design and deterministic:
+    the SQL oracle reproduces the same planes, so the miss set is part
+    of the checked contract."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import cosine, lsh_bucket
+
+    withb = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bkt"),
+    )
+    a = withb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkt")
+    b = withb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkt")
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -37,6 +37,24 @@ def test_lww_dedup_single_shuffle(spark):
     assert p.count("+- Exchange") == 1, "LWW dedup is one hash shuffle"
 
 
+def test_near_dedup_has_no_all_pairs_join(spark):
+    """The composed near-dedup must never fall back to a quadratic
+    join: no cartesian / nested-loop, and the only self-join key is the
+    LSH band key (shingle-explode equi self-join would be the all-pairs
+    blowup at scale)."""
+    p = _plan(spark, "q_dedup_near")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the exploded-shingle self-join of ngram_jaccard_pairs joins on a
+    # xxhash64(shingle) column named 's'; near_dedup must not contain it
+    assert "xxhash64" not in p, "shingle-hash self-join leaked into near_dedup"
+
+
+def test_embedding_dups_bucketed_no_cross_product(spark):
+    p = _plan(spark, "q_embedding_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "bkt" in p, "LSH bucket equi-join key missing from plan"
+
+
 def test_pricing_summary_scan_is_pruned(spark):
     p = _plan(spark, "q_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in p, "date filter not pushed"
