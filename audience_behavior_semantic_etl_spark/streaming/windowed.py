@@ -3,17 +3,35 @@ expression of the reference's "autonomous daily pipeline" (SURVEY.md
 §1.1: its only incrementality is daily S3 folder appends).
 
 Event-time tumbling windows + watermark give the same daily/hourly
-cube semantics incrementally: late events within the watermark still
-land in their window; state for closed windows is dropped, so the
-operator runs unbounded streams in bounded memory. At 100 TB the
-source is Kafka and the sink a table; here the availableNow trigger
-drains a bounded directory so results are deterministic and
-oracle-checkable (the finished result equals the batch GROUP BY).
+cube semantics incrementally, in APPEND mode: a window is emitted
+exactly once, when the watermark passes its end, and its state is then
+EVICTED — so the operator runs unbounded streams in bounded memory
+(state size ∝ open windows, never total history). Complete mode +
+memory sink would be the anti-pattern at scale: the watermark never
+evicts, state and sink grow with every (window, key) group forever.
+
+At 100 TB the source is Kafka and the sink a table; here the
+availableNow trigger drains a bounded directory so results are
+deterministic and oracle-checkable (the finished result equals the
+batch GROUP BY).
+
+Bounded-drain flush: append mode only emits a window once a LATER
+event pushes the watermark past its end. A drained directory has no
+later event for its final windows, so the drain plants two sentinel
+rows far past the real data (in separate, later-mtime files => later
+micro-batches: the file source orders by mtime). Sentinel #1 advances
+the watermark past every real window; the batch that reads sentinel #2
+emits+evicts them all. The sentinels' own windows are never reached by
+the watermark, so they never appear in the output (they are also
+key-filtered, belt and braces). On a true unbounded stream no sentinel
+is needed — arriving data advances the watermark continuously.
 """
 
 from __future__ import annotations
 
-import uuid
+import json
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -25,21 +43,58 @@ def tumbling_window_counts(
     key_col: str = "event_type",
     window_len: str = "1 hour",
     watermark: str = "1 hour",
+    progress: list | None = None,
 ) -> DataFrame:
     """Drain ``src_dir`` (parquet) as a stream, counting events per
-    (tumbling event-time window, key). Returns the finished result as a
-    static DataFrame (window start formatted as a string for stable
-    comparison)."""
-    import os
-    import tempfile
-
+    (tumbling event-time window, key): append mode, watermark-evicted
+    state, file sink — no driver-side collect of results. Returns the
+    finished result as a DataFrame over the sink (window start
+    formatted as a string for stable comparison). ``progress``, if
+    given, receives the query's progress dicts (state-store metrics)
+    so tests can assert eviction actually happened.
+    """
     static = spark.read.parquet(src_dir)
-    if os.path.isfile(src_dir):
-        # the file stream source only accepts directories
-        d = tempfile.mkdtemp(prefix="stream-src-")
-        os.symlink(os.path.abspath(src_dir), os.path.join(d, os.path.basename(src_dir)))
-        src_dir = d
-    src = spark.readStream.schema(static.schema).parquet(src_dir)
+    max_ts = static.agg(F.max(F.col(ts_col).cast("timestamp"))).collect()[0][0]
+
+    # stage the source: data file(s) first, then the two flush
+    # sentinels with strictly later mtimes (the file source orders by
+    # mtime, see module docstring)
+    srcd = tempfile.mkdtemp(prefix="stream-src-")
+    data_files = (
+        [os.path.abspath(src_dir)]
+        if os.path.isfile(src_dir)
+        else [
+            os.path.join(os.path.abspath(src_dir), fn)
+            for fn in sorted(os.listdir(src_dir))
+            if fn.endswith(".parquet")
+        ]
+    )
+    for i, f in enumerate(data_files):
+        os.symlink(f, os.path.join(srcd, f"data-{i}.parquet"))
+    ts_type = static.schema[ts_col].dataType.simpleString()
+    base_mtime = max(os.path.getmtime(os.path.join(srcd, p)) for p in os.listdir(srcd))
+    for i, hours in enumerate((6, 7)):
+        sent = (
+            static.limit(1)
+            .withColumn(
+                ts_col,
+                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).cast(ts_type),
+            )
+            .withColumn(key_col, F.lit("__flush__"))
+        )
+        sdir = tempfile.mkdtemp(prefix="stream-sentinel-")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
+        dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
+        os.rename(os.path.join(sdir, part), dst)
+        t = base_mtime + 10 + i * 10
+        os.utime(dst, (t, t))
+
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max(1, len(data_files)))
+        .parquet(srcd)
+    )
     # Watermarks need an instant; testdata timestamps are NTZ (session
     # TZ is UTC, so the cast is a pure reinterpretation).
     src = src.withColumn("__evt", F.col(ts_col).cast("timestamp"))
@@ -47,21 +102,24 @@ def tumbling_window_counts(
         src.withWatermark("__evt", watermark)
         .groupBy(F.window("__evt", window_len).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col(key_col),
+            F.col("n_events"),
+        )
     )
-    name = f"tumbling_{uuid.uuid4().hex[:12]}"
+    out_dir = tempfile.mkdtemp(prefix="stream-sink-")
     q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-ckpt-"))
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name).select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        F.col(key_col),
-        F.col("n_events"),
+    if progress is not None:
+        progress.extend(json.loads(p.json) for p in q.recentProgress)
+    return spark.read.schema(agg.schema).parquet(out_dir).filter(
+        F.col(key_col) != "__flush__"
     )
-    # materialize before the memory sink table goes away with the query
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)

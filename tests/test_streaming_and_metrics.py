@@ -45,6 +45,32 @@ def test_tumbling_window_counts_equals_batch(spark, tmp_path):
     }
 
 
+def test_tumbling_window_state_is_evicted(spark, tmp_path):
+    """Append mode must actually close windows: by end-of-drain the
+    state store holds only the flush sentinels — NOT one row per
+    (window, key) group forever (the complete-mode anti-pattern)."""
+    from audience_behavior_semantic_etl_spark.streaming.windowed import (
+        tumbling_window_counts,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [(f"2025-01-01 {h:02d}:{m:02d}:00", k) for h in range(10) for m in (5, 25) for k in ("a", "b")]
+    df = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    prog: list = []
+    out = tumbling_window_counts(spark, src, progress=prog)
+    assert out.count() == 20  # 10 hours x 2 keys
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"] for p in prog if p.get("stateOperators")
+    ]
+    assert state_rows, "no state metrics reported"
+    assert state_rows[-1] <= 2, f"state not evicted: {state_rows}"
+    assert max(state_rows) >= 20, "windows never entered state (wrong source?)"
+
+
 def test_wal_source_roundtrip(spark, tmp_path):
     from audience_behavior_semantic_etl_spark.cdc.gen import GenConfig, generate_change_log, write_wal_chunks
     from audience_behavior_semantic_etl_spark.sources import read_wal
