@@ -56,7 +56,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     events = _t(spark, SF0001, "events")
     s = sessionize(events, "user_id", "ts", gap_seconds=1800.0)
-    m = session_metrics_columns(s, session_col="sd_session_id", ts_col="ts")
+    # key_col threads the sessionize partitioning through: ONE shuffle
+    m = session_metrics_columns(s, session_col="sd_session_id", ts_col="ts", key_col="user_id")
     one = filter_session_rows(m)
     return one.select(
         "user_id",
@@ -197,7 +198,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 sessionize + §2.6 session metrics, one row per session."""
     events = _t(spark, sf_dir, "events")
     s = sessionize(events, "user_id", "ts", gap_seconds=1800.0)
-    m = session_metrics_columns(s, session_col="sd_session_id", ts_col="ts")
+    # key_col threads the sessionize partitioning through: ONE shuffle
+    m = session_metrics_columns(s, session_col="sd_session_id", ts_col="ts", key_col="user_id")
     one = filter_session_rows(m)
     return one.select(
         "user_id",

@@ -60,14 +60,29 @@ def session_metrics_columns(
     ts_col: str = "ts",
     page_col: str | None = None,
     bounce_threshold_seconds: float = 3.0,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Reference session metrics (ETLExpressions.scala:130-209):
     W1 row_number, W5 first/last value (start/end/landing/exit),
     W6 count, plus derived duration / bounce / avg-time-per-event.
 
-    One Window partitioning (by session) -> one shuffle for all metrics.
+    One Window partitioning -> one Window operator for all metrics.
+
+    Pass ``key_col`` (the sessionize key) when the input comes from
+    ``sessionize``: a session id is unique WITHIN its key, so
+    partitioning by ``(key, session)`` is semantically identical to
+    partitioning by session alone — but the data is already
+    hash-partitioned by key from the sessionize windows, and
+    ``HashPartitioning(key)`` satisfies
+    ``ClusteredDistribution([key, session])``, so Catalyst inserts NO
+    second Exchange: the whole sessionize→metrics pipeline is ONE
+    shuffle (the reference's own physical shape, Sessionize.scala:103 —
+    its generator emits session rows without leaving the key
+    partitioning). Without ``key_col`` the window re-shuffles on
+    ``hash(session_col)``.
     """
-    w = Window.partitionBy(session_col).orderBy(ts_col)
+    parts = ([key_col] if key_col else []) + [session_col]
+    w = Window.partitionBy(*parts).orderBy(ts_col)
     wf = full_frame(w)
     ts = F.col(ts_col)
     out = (

@@ -37,6 +37,15 @@ def test_lww_dedup_single_shuffle(spark):
     assert p.count("+- Exchange") == 1, "LWW dedup is one hash shuffle"
 
 
+def test_sessionize_plus_metrics_is_one_shuffle(spark):
+    """sessionize hash-partitions by user_id; the session-metric
+    windows partition by (user_id, session) which HashPartitioning
+    already satisfies — the whole pipeline must plan exactly ONE
+    Exchange (the reference's physical shape, Sessionize.scala:103)."""
+    p = _plan(spark, "q_sessionize")
+    assert p.count("+- Exchange") == 1, "sessionize+metrics must be one shuffle"
+
+
 def test_near_dedup_has_no_all_pairs_join(spark):
     """The composed near-dedup must never fall back to a quadratic
     join: no cartesian / nested-loop, and the only self-join key is the
