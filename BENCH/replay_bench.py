@@ -95,6 +95,11 @@ def main() -> int:
         help="update-churn multiplier for hot conversations (skew stress; "
              "a large value concentrates a big share of the batch on a few keys)",
     )
+    ap.add_argument(
+        "--files-per-trigger", type=int, default=FILES_PER_TRIGGER,
+        help="WAL chunk files per micro-batch (256 total chunks); larger "
+             "batches amortize the per-batch fixed driver cost",
+    )
     args = ap.parse_args()
 
     from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig
@@ -130,10 +135,26 @@ def main() -> int:
     try:
         wal, n_events = ensure_wal(spark, args.seed, args.convs, args.hot_mult)
 
-        # warm the JVM + python workers outside the timed window
-        spark.read.parquet(wal).limit(1000).mapInPandas(
-            lambda it: it, schema=spark.read.parquet(wal).schema
-        ).count()
+        # Warm the JVM + python workers OUTSIDE the timed window by
+        # applying one small representative batch to a scratch table
+        # (exercises the full codegen set: pruned stats scan, from_json
+        # normalize, pandas-UDF worker pool, window, range shuffle,
+        # parquet write, commit). The protocol measures warmed
+        # steady-state throughput — on a real cluster executors are
+        # long-lived and JIT warmup is not part of per-batch cost; in a
+        # 40 s local run an unwarmed first batch would be ~40% of wall.
+        warm_tbl = SnapshotTable.create(spark, f"{work}/warm", n_buckets=args.n_buckets)
+        from audience_behavior_semantic_etl_spark.cdc.apply import apply_batch as _apply
+
+        # materialize through the driver so the warm batch is a
+        # row-backed LogicalRDD — the SAME plan shape foreachBatch hands
+        # apply_batch (spool path included), not the file-backed variant
+        head = spark.read.parquet(wal).limit(50_000).collect()
+        _apply(
+            spark.createDataFrame(head, schema=spark.read.parquet(wal).schema),
+            warm_tbl, 0, ApplyConfig(),
+        )
+        shutil.rmtree(f"{work}/warm", ignore_errors=True)
 
         table = SnapshotTable.create(spark, f"{work}/table", n_buckets=args.n_buckets)
         os.system("sync")  # drain pending writeback from generation/warmup
@@ -144,7 +165,7 @@ def main() -> int:
             table,
             f"{work}/ckpt",
             ApplyConfig(),
-            max_files_per_trigger=FILES_PER_TRIGGER,
+            max_files_per_trigger=args.files_per_trigger,
         )
         secs = time.perf_counter() - t0
         if run.error:
@@ -159,7 +180,9 @@ def main() -> int:
             "batches": len([m for m in run.metrics if not m.skipped]),
             "secs": round(secs, 3),
             "events_per_sec": round(applied / secs, 1),
+            "files_per_trigger": args.files_per_trigger,
             "batch_secs": [round(m.seconds, 3) for m in run.metrics],
+            "phases": [m.phases for m in run.metrics if not m.skipped],
             "hot_keys_seen": int(sum(m.hot_keys for m in run.metrics)),
             "hot_mult": args.hot_mult,
         }

@@ -22,11 +22,14 @@ operator chain (SURVEY.md §7.1):
   in-batch updates ships one row per map partition thanks to partial
   aggregation). The window form stays available as ``lww_dedup``.
 - normalize        ≈ reference flatten/rename/case/enrich (§2.2/2.8/2.9)
-  as ONE Arrow-vectorized ``mapInPandas`` stage placed AFTER the bucket
-  shuffle: JSON after-image -> typed columns of the (possibly
-  just-evolved) target schema, with text canonicalization. Post-shuffle
-  placement means its parallelism is shuffle_partitions, independent of
-  source file layout. No per-row Python UDFs.
+  as a JVM-side projection placed AFTER the bucket shuffle: ONE
+  ``from_json`` per row -> coalesce over the dotted flatten paths ->
+  typed columns of the (possibly just-evolved) target schema, all
+  inside whole-stage codegen; the single remaining Python step is text
+  canonicalization (unicode NFC), a one-column Arrow-batched pandas
+  UDF. Post-shuffle placement means its parallelism is
+  shuffle_partitions, independent of source file layout. No per-row
+  Python anywhere.
 - salted repartition ≈ the reference's explicit RepartitionByExpression
   before its stateful op (Sessionize.scala:103), plus the hot-key
   splitting the north_rule demands (SURVEY.md §4.2).
@@ -37,9 +40,11 @@ Per-batch Spark-job budget (scale discipline — each job is a full
 batch scan at 10^10 events):
   1. ONE column-pruned batch scan (lsn/op/keys only — payloads never
      touch this job): groupBy(source_part, conv_id) stats, cached small
-     (≤ #conversations in the batch, never batch size); three tiny
-     follow-up jobs over the cached aggregate derive per-part lineage
-     stats + watermarks + churn, hot keys, and affected buckets.
+     (≤ #conversations in the batch, never batch size). ONE driver
+     collect over a union of two aggregates of that cache yields
+     per-part lineage stats + watermarks + churn AND the hot-key /
+     affected-bucket census together — per-batch driver jobs are the
+     non-scaling term, so none is spent twice.
   2. (rare) schema_change payload collect                  [tiny]
   3. the append write itself (scan -> [optional dedup shuffle] ->
      bucket shuffle -> normalize -> append), with row metrics attached
@@ -53,14 +58,12 @@ import json
 import time
 import uuid
 from dataclasses import dataclass
-from typing import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.sql import types as T
 
 from audience_behavior_semantic_etl_spark.cdc import schema as S
-from audience_behavior_semantic_etl_spark.cdc.normalize import canonical_text
+from audience_behavior_semantic_etl_spark.cdc.normalize import canonical_text_col
 from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable, bucket_expr
 
 
@@ -70,7 +73,10 @@ class ApplyConfig:
     hot_key_threshold: int = 1000  # events per conv_id per batch
     n_salts: int = 8
     shuffle_partitions: int | None = None  # default: session setting
-    compact_max_files: int = 8  # per-bucket delta files before compaction
+    # per-bucket delta SNAPSHOTS (≈ batches) before compaction — batch
+    # count, not file count, so the policy is invariant to write
+    # parallelism (see SnapshotTable.buckets_over_threshold)
+    compact_max_files: int = 8
     auto_compact: bool = True
     # poison-message policy: "fail" stops the stream on the first
     # malformed payload (no silent loss — the safe default);
@@ -89,93 +95,118 @@ def winners_schema(table: SnapshotTable) -> T.StructType:
     return S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
 
 
-def make_winner_normalizer(
+def _payload_paths(name: str) -> list[tuple[str, ...]]:
+    """Flatten paths that land in target column ``name``, in priority
+    order: direct key first, then ``tool_* <- tool_meta.*`` (the
+    reference's dotted-path rename, RenameColumns.scala:54), then
+    generic ``a_b <- a.b`` splits."""
+    paths: list[tuple[str, ...]] = [(name,)]
+    if name.startswith("tool_"):
+        paths.append(("tool_meta", name[len("tool_"):]))
+    for i, ch in enumerate(name):
+        if ch == "_":
+            paths.append((name[:i], name[i + 1:]))
+    return paths
+
+
+def normalize_envelope(
+    data: DataFrame,
     out_schema: T.StructType,
-    passthrough: tuple[str, ...] = (),
     on_malformed: str = "fail",
-):
-    """Arrow-batched envelope normalizer.
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """JVM-side envelope normalizer. The JSON parse (ONE ``from_json``
+    per row) and dotted-path flatten run inside whole-stage codegen;
+    the only Python on the hot path is text canonicalization — a
+    single-column Arrow-batched pandas UDF (``canonical_text_col``).
+    This replaced a full-row ``mapInPandas`` kernel whose per-row
+    ``json.loads`` + dict walking dominated batch time.
 
     Upsert rows get their JSON after-image parsed and flattened
-    (``tool_meta.name -> tool_name`` — the dotted-path rename of the
-    reference, RenameColumns.scala:54), text canonicalized, and every
-    output column cast to the target type. Unknown payload fields are
-    dropped; missing ones become null — this is what makes v1 and v2
-    payloads land in one evolving schema. Delete rows become tombstones
-    (keys + _lsn + _deleted, typed columns null).
+    (``tool_meta.name -> tool_name``), text canonicalized, every output
+    column cast to the target type. Unknown payload fields are dropped;
+    missing ones become null — v1 and v2 payloads land in one evolving
+    schema. Delete rows become tombstones (keys + _lsn + _deleted,
+    typed columns null).
+
+    Poison messages: 'fail' -> from_json FAILFAST aborts the batch job
+    on the first malformed payload; 'quarantine' -> PERMISSIVE with a
+    corrupt-record column, flagged per row in ``__malformed`` for the
+    caller to count-and-drop. The JSON parser is record-strict: a
+    TYPE-mismatched field (e.g. a float where the schema says long)
+    marks the whole record malformed instead of coercing field-by-field
+    — the right behavior under a poison-message policy.
+
+    Limit (documented, checked at schema build): a nested flatten head
+    may not collide with a scalar payload column (a payload sending
+    ``tool`` as an OBJECT while the table has scalar ``tool`` is not
+    representable in one parse schema); such paths are skipped.
     """
     key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL}
-    payload_cols = [f.name for f in out_schema.fields if f.name not in key_meta]
-    # Per-column extraction paths, precomputed ONCE (the inverse of the
-    # old per-row flatten-then-rename, which built a dict per row):
-    # direct key first, then the dotted-path sources that flatten to
-    # this name — tool_* <- tool_meta.* (the reference's rename,
-    # RenameColumns.scala:54) and generic a_b <- a.b.
-    specs: list[tuple[str, list[tuple[str, ...]]]] = []
-    for c in payload_cols:
-        paths: list[tuple[str, ...]] = [(c,)]
-        if c.startswith("tool_"):
-            paths.append(("tool_meta", c[len("tool_"):]))
-        for i, ch in enumerate(c):
-            if ch == "_":
-                paths.append((c[:i], c[i + 1:]))
-        specs.append((c, paths))
+    payload_fields = [f for f in out_schema.fields if f.name not in key_meta]
+    direct = {f.name for f in payload_fields}
+    nested: dict[str, dict[str, T.DataType]] = {}
+    specs: dict[str, list[tuple[str, ...]]] = {}
+    for f in payload_fields:
+        kept: list[tuple[str, ...]] = []
+        for p in _payload_paths(f.name):
+            if len(p) == 1:
+                kept.append(p)
+            else:
+                head, tail = p
+                if head in direct:
+                    continue
+                nested.setdefault(head, {})[tail] = f.dataType
+                kept.append(p)
+        specs[f.name] = kept
+    schema_fields = [T.StructField(f.name, f.dataType) for f in payload_fields] + [
+        T.StructField(h, T.StructType([T.StructField(n, t) for n, t in sub.items()]))
+        for h, sub in nested.items()
+    ]
+    if on_malformed == "fail":
+        opts = {"mode": "FAILFAST"}
+    else:
+        schema_fields = schema_fields + [T.StructField("_corrupt", T.StringType())]
+        opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    parse_schema = T.StructType(schema_fields)
 
-    loads = json.loads
+    is_del = F.col("op") == "delete"
+    parsed = F.when(~is_del, F.from_json(F.col("payload"), parse_schema, opts)).alias("__p")
 
-    def normalize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            n = len(pdf)
-            ops = pdf["op"].to_numpy()
-            payloads = pdf["payload"].to_numpy()
-            out = {
-                "conv_id": pdf["conv_id"],
-                "turn_idx": pdf["turn_idx"],
-                S.LSN_META_COL: pdf["lsn"],
-                S.DELETED_META_COL: pd.Series(ops == "delete", index=pdf.index),
-            }
-            parsed: list = [None] * n
-            malformed = [0] * n
-            for i in range(n):
-                if ops[i] != "delete" and payloads[i] is not None:
-                    try:
-                        parsed[i] = loads(payloads[i])
-                    except ValueError:
-                        if on_malformed == "fail":
-                            raise
-                        malformed[i] = 1
-            cols: dict[str, list] = {}
-            for c, paths in specs:
-                col: list = [None] * n
-                for i in range(n):
-                    p = parsed[i]
-                    if p is None:
-                        continue
-                    for path in paths:
-                        v = p
-                        for k in path:
-                            if isinstance(v, dict) and k in v:
-                                v = v[k]
-                            else:
-                                v = None
-                                break
-                        if v is not None:
-                            col[i] = v
-                            break
-                if c == "text":
-                    col = [canonical_text(v) if v is not None else None for v in col]
-                cols[c] = col
-            res = pd.DataFrame(
-                {**out, **cols, "__malformed": malformed, **{c: pdf[c] for c in passthrough}}
-            )
-            for f_ in out_schema.fields:
-                if isinstance(f_.dataType, T.TimestampNTZType) and f_.name in payload_cols:
-                    res[f_.name] = pd.to_datetime(res[f_.name], format="ISO8601")
-                elif isinstance(f_.dataType, T.LongType) and f_.name in payload_cols:
-                    res[f_.name] = pd.to_numeric(res[f_.name]).astype("Int64")
-            yield res[[f.name for f in out_schema.fields] + ["__malformed"] + list(passthrough)]
+    def _path_col(p: tuple[str, ...]):
+        c = F.col("__p")
+        for k in p:
+            c = c.getField(k)
+        return c
 
-    return normalize
+    out_cols = []
+    for f in out_schema.fields:
+        if f.name == "conv_id":
+            out_cols.append(F.col("conv_id"))
+        elif f.name == "turn_idx":
+            out_cols.append(F.col("turn_idx"))
+        elif f.name == S.LSN_META_COL:
+            out_cols.append(F.col("lsn").alias(S.LSN_META_COL))
+        elif f.name == S.DELETED_META_COL:
+            out_cols.append(is_del.alias(S.DELETED_META_COL))
+        else:
+            exprs = [_path_col(p) for p in specs[f.name]]
+            e = F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
+            if f.name == "text":
+                e = canonical_text_col(e)
+            out_cols.append(e.cast(f.dataType).alias(f.name))
+    if on_malformed == "fail":
+        malformed = F.lit(0)
+    else:
+        malformed = F.when(
+            (~is_del)
+            & F.col("payload").isNotNull()
+            & F.col("__p").getField("_corrupt").isNotNull(),
+            1,
+        ).otherwise(0)
+    return data.select(parsed, "*").select(
+        *out_cols, malformed.alias("__malformed"), *[F.col(c) for c in passthrough]
+    )
 
 
 def lww_dedup(events: DataFrame) -> DataFrame:
@@ -276,26 +307,70 @@ def apply_batch(
             )
             .persist()
         )
-        part_stats = (
-            stats.groupBy("source_part")
+        part_agg = stats.groupBy("source_part").agg(
+            F.sum("n").alias("n"),
+            F.min("lsn_min").alias("lsn_min"),
+            F.max("lsn_max").alias("lsn_max"),
+            F.sum("n_sc").alias("n_sc"),
+            F.sum("n_keys").alias("n_keys"),
+            # data rows with a NULL key: legal only for schema_change
+            # (ENVELOPE_SCHEMA); a null-key upsert/delete can never be
+            # merged and MUST NOT be silently dropped (the census
+            # assigns buckets by conv_id, so these rows would stage
+            # into no adopted bucket) — they fall under the
+            # poison-message policy below.
+            F.sum(
+                F.when(F.col("conv_id").isNull(), F.col("n") - F.col("n_sc")).otherwise(0)
+            ).alias("n_nullkey"),
+        )
+        # hot keys + affected buckets, derived from the SAME cached
+        # stats: per-bucket row with the bucket's hot conv_ids embedded
+        # (output bounded by n_buckets + #hot keys, never batch size).
+        # n_buckets is immutable after create, so this is safe to plan
+        # before any schema_change lands.
+        n_buckets = table.manifest().n_buckets
+        census_agg = (
+            stats.filter(F.col("conv_id").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.sum("n").alias("n"))
+            .groupBy(bucket_expr(F.col("conv_id"), n_buckets).alias("__b"))
             .agg(
-                F.sum("n").alias("n"),
-                F.min("lsn_min").alias("lsn_min"),
-                F.max("lsn_max").alias("lsn_max"),
-                F.sum("n_sc").alias("n_sc"),
-                F.sum("n_keys").alias("n_keys"),
-                # data rows with a NULL key: legal only for schema_change
-                # (ENVELOPE_SCHEMA); a null-key upsert/delete can never be
-                # merged and MUST NOT be silently dropped (the census
-                # assigns buckets by conv_id, so these rows would stage
-                # into no adopted bucket) — they fall under the
-                # poison-message policy below.
-                F.sum(
-                    F.when(F.col("conv_id").isNull(), F.col("n") - F.col("n_sc")).otherwise(0)
-                ).alias("n_nullkey"),
+                F.collect_list(
+                    F.when(F.col("n") > cfg.hot_key_threshold, F.col("conv_id"))
+                ).alias("hot")
+            )
+        )
+        # ONE driver job for both shapes: the union collects the
+        # per-part lineage stats AND the bucket census together — the
+        # second standing per-batch job this used to cost is gone
+        # (fixed driver work per batch is the term that caps scaling
+        # efficiency; see BENCH/BASELINE.md).
+        nulls = F.lit(None)
+        combined = (
+            part_agg.select(
+                F.lit("part").alias("__kind"),
+                "source_part", "n", "lsn_min", "lsn_max", "n_sc", "n_keys", "n_nullkey",
+                nulls.cast("int").alias("__b"),
+                nulls.cast("array<string>").alias("hot"),
+            )
+            .unionByName(
+                census_agg.select(
+                    F.lit("census").alias("__kind"),
+                    nulls.cast("int").alias("source_part"),
+                    nulls.cast("long").alias("n"),
+                    nulls.cast("long").alias("lsn_min"),
+                    nulls.cast("long").alias("lsn_max"),
+                    nulls.cast("long").alias("n_sc"),
+                    nulls.cast("long").alias("n_keys"),
+                    nulls.cast("long").alias("n_nullkey"),
+                    "__b",
+                    "hot",
+                )
             )
             .collect()
         )
+        part_stats = [r for r in combined if r["__kind"] == "part"]
+        census = [r for r in combined if r["__kind"] == "census"]
         _phase("stats")
         n_events = sum(r["n"] for r in part_stats)
         n_sc = sum(r["n_sc"] for r in part_stats)
@@ -338,22 +413,6 @@ def apply_batch(
                 if add:
                     table.add_columns(add)
 
-        m = table.manifest()
-        # hot keys + affected buckets in ONE small job over the cached
-        # stats: per-bucket row with the bucket's hot conv_ids embedded
-        # (output bounded by n_buckets + #hot keys, never batch size)
-        census = (
-            stats.filter(F.col("conv_id").isNotNull())
-            .groupBy("conv_id")
-            .agg(F.sum("n").alias("n"))
-            .groupBy(bucket_expr(F.col("conv_id"), m.n_buckets).alias("__b"))
-            .agg(
-                F.collect_list(
-                    F.when(F.col("n") > cfg.hot_key_threshold, F.col("conv_id"))
-                ).alias("hot")
-            )
-            .collect()
-        )
         affected = [int(r["__b"]) for r in census]
         hot = [c for r in census for c in r["hot"]]
         _phase("census")
@@ -389,7 +448,7 @@ def apply_batch(
         shuffle_n = cfg.shuffle_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        data = data.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
+        data = data.withColumn("__bucket", bucket_expr(F.col("conv_id"), n_buckets))
         if hot:
             salt = F.when(
                 F.col("conv_id").isin(hot), F.pmod(F.col("turn_idx"), F.lit(cfg.n_salts))
@@ -412,17 +471,8 @@ def apply_batch(
         data = data.observe(obs, *metric_exprs)
 
         out_schema = winners_schema(table)
-        final_rows = data.mapInPandas(
-            make_winner_normalizer(
-                out_schema, passthrough=("__bucket",), on_malformed=cfg.on_malformed
-            ),
-            schema=T.StructType(
-                out_schema.fields
-                + [
-                    T.StructField("__malformed", T.IntegerType()),
-                    T.StructField("__bucket", T.IntegerType()),
-                ]
-            ),
+        final_rows = normalize_envelope(
+            data, out_schema, on_malformed=cfg.on_malformed, passthrough=("__bucket",)
         )
         obs_mf = Observation(f"malformed-{batch_id}-{uuid.uuid4().hex[:8]}")
         final_rows = final_rows.observe(

@@ -15,6 +15,8 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import pandas as pd
+
 _CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 # trailing whitespace before a newline or end — MULTILINE $ instead of a
 # captured backreference: the \1 template forced expand_template per
@@ -36,3 +38,17 @@ def canonical_text(s: str | None) -> str | None:
     s = _CTRL.sub("", s)
     s = _TRAIL.sub("", s)
     return s
+
+
+def canonical_text_col(c):
+    """``canonical_text`` as an Arrow-batched single-column pandas UDF —
+    the ONLY Python on the apply hot path (unicode NFC normalization has
+    no Catalyst expression). Everything else in the normalizer is
+    JVM-side; this ships one string column per batch over Arrow."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _canon(s: pd.Series) -> pd.Series:
+        return s.map(canonical_text, na_action="ignore")
+
+    return _canon(c)

@@ -332,11 +332,27 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ maintenance
 
-    def buckets_over_threshold(self, max_files: int) -> list[int]:
-        """Buckets whose delta-file count exceeds ``max_files`` —
-        compaction candidates (manifest metadata only, no data read)."""
+    def buckets_over_threshold(self, max_deltas: int) -> list[int]:
+        """Buckets whose accumulated DELTA-SNAPSHOT count exceeds
+        ``max_deltas`` — compaction candidates (manifest metadata only,
+        no data read).
+
+        Snapshots, not raw files: one batch may write a bucket as 2-3
+        files when range boundaries split it across write tasks, and
+        that multiplicity scales with shuffle parallelism — a file-count
+        threshold would compact k× more often at k× executors for the
+        SAME logical backlog. Read amplification of merge-on-read grows
+        with the number of delta GENERATIONS a key may span (one per
+        batch), which is exactly the snapshot count. File names embed
+        the snapshot id (``f-<snapshot>-...``), so this is a pure
+        manifest computation."""
         m = self.manifest()
-        return [int(b) for b, fs in m.buckets.items() if len(fs) > max_files]
+        out = []
+        for b, fs in m.buckets.items():
+            snaps = {os.path.basename(f).split("-")[1] for f in fs}
+            if len(snaps) > max_deltas:
+                out.append(int(b))
+        return out
 
     def compact_buckets(
         self,
