@@ -67,7 +67,8 @@ def run_level(cpus: int, convs: int, runs: int) -> dict:
         env.pop("SPARK_GRAFT_DRIVER_MEM", None)
         p = subprocess.run(
             [sys.executable, os.path.join(HERE, "replay_bench.py"),
-             "--cpus", str(cpus), "--convs", str(convs)],
+             "--cpus", str(cpus), "--convs", str(convs),
+             "--files-per-trigger", "128"],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(HERE),
         )
         if p.returncode != 0:

@@ -577,6 +577,20 @@ def q_ntile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 at scale: the SAME ntile ranking as q_ntile_users but via the
+    partition-offset 2-pass (operators.windows.ranked_ntile_2pass) — NO
+    single-partition window in the plan; the oracle is plain NTILE, so
+    exact tile-boundary semantics are part of the check."""
+    from audience_behavior_semantic_etl_spark.operators.windows import ranked_ntile_2pass
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return ranked_ntile_2pass(
+        per_user, "n_events", 5, "tile", tiebreak_cols=("user_id",)
+    )
+
+
 def q_collect_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event-path per user (W9 collect_list over window,
     ETLExpressions.scala:156-170), emitted as a joined string."""
@@ -815,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_lag_gap": q_window_lag_gap,
         "q_window_remaining": q_window_remaining,
         "q_ntile_users": q_ntile_users,
+        "q_ntile_scalable": q_ntile_scalable,
         "q_collect_paths": q_collect_paths,
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
@@ -1119,6 +1134,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_ntile_users": """
+            SELECT user_id, n_events,
+                   CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS INTEGER) AS tile
+            FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        """,
+        "q_ntile_scalable": """
             SELECT user_id, n_events,
                    CAST(ntile(5) OVER (ORDER BY n_events, user_id) AS INTEGER) AS tile
             FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)

@@ -134,27 +134,75 @@ def global_ntile(df: DataFrame, order_col: str, n: int, out_col: str) -> DataFra
     return df.withColumn(out_col, F.ntile(n).over(Window.orderBy(order_col)))
 
 
-def ranked_ntile_2pass(df: DataFrame, order_col: str, n: int, out_col: str) -> DataFrame:
-    """Scalable global ntile: total count (scalar) + range-partitioned
-    row_number, then tile arithmetic. Two jobs, no single-partition
-    window. Ties broken by order_col only (same as ntile's input order).
+def ranked_ntile_2pass(
+    df: DataFrame,
+    order_col: str,
+    n: int,
+    out_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Scalable global ntile — EXACT ``ntile(n)`` semantics with NO
+    single-partition window anywhere in the plan.
+
+    Pass 1: range-repartition on the order key (+ tiebreaks) and count
+    rows per partition — one small job whose output is #partitions
+    rows. Pass 2: broadcast the cumulative offsets; each partition
+    assigns ``global_rank = offset + local_position`` and the ntile
+    arithmetic (first ``total % n`` tiles carry the extra row, same as
+    SQL NTILE) inside one ``mapInPandas`` — the zipWithIndex pattern,
+    Arrow-batched.
+
+    The input is persisted because range partitioning SAMPLES the child
+    plan: without the pin, the counts job and the final job could see
+    different partition boundaries (and the sampling pass would
+    re-execute the child anyway). Ties beyond ``tiebreak_cols`` leave
+    rank assignment nondeterministic, exactly like SQL NTILE.
     """
-    total = df.count()
-    ranked = (
-        df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, order_col)
-        .sortWithinPartitions(order_col)
-        .withColumn(
-            "__rk",
-            F.row_number().over(Window.orderBy(order_col)),  # still global; see note
-        )
+    import numpy as np
+    from pyspark import TaskContext
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    sort_cols = [order_col, *tiebreak_cols]
+    parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(parts, *sort_cols).sortWithinPartitions(*sort_cols).persist()
     )
-    # NOTE: a truly shuffle-free global rank needs partition-offset
-    # arithmetic over mapPartitions; for the sizes ntile is used on
-    # (per-user aggregates) the plain window is acceptable. Kept simple
-    # until profiling shows otherwise.
-    return ranked.withColumn(
-        out_col, (F.lit(n) * (F.col("__rk") - 1) / F.lit(total)).cast("int") + 1
-    ).drop("__rk")
+    counts = {
+        r["p"]: r["c"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    boff = spark.sparkContext.broadcast(offsets)
+    q, r = divmod(total, n) if total else (0, 0)
+    out_schema = T.StructType(ranged.schema.fields + [T.StructField(out_col, T.IntegerType())])
+
+    def add_tile(it):
+        pid = TaskContext.get().partitionId()
+        base = boff.value.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            rk = base + seen + np.arange(1, len(pdf) + 1, dtype=np.int64)
+            seen += len(pdf)
+            if q == 0:  # more tiles than rows: tile == rank (SQL NTILE)
+                tile = rk
+            else:
+                cut = r * (q + 1)
+                tile = np.where(
+                    rk <= cut, (rk - 1) // (q + 1) + 1, r + (rk - cut - 1) // q + 1
+                )
+            pdf = pdf.copy()
+            pdf[out_col] = tile.astype("int32")
+            yield pdf
+
+    return ranged.mapInPandas(add_tile, schema=out_schema)
 
 
 def multi_touch_share(value_col: str, w: WindowSpec) -> Column:

@@ -64,6 +64,15 @@ def test_embedding_dups_bucketed_no_cross_product(spark):
     assert "bkt" in p, "LSH bucket equi-join key missing from plan"
 
 
+def test_ntile_scalable_has_no_global_window(spark):
+    """The 2-pass ntile must not plan a Window operator or a
+    single-partition exchange — that is the hazard it exists to
+    avoid."""
+    p = _plan(spark, "q_ntile_scalable")
+    assert "Window" not in p, "2-pass ntile fell back to a window"
+    assert "SinglePartition" not in p, "global serialization point in plan"
+
+
 def test_pricing_summary_scan_is_pruned(spark):
     p = _plan(spark, "q_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in p, "date filter not pushed"
