@@ -772,6 +772,74 @@ def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_goal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's goal/impact attribution stack
+    (AcmeDailyETL.scala:341-370,667-711; see plans.daily_cubes for the
+    full cube DAG): impacts (clicks) theta-joined to later goals
+    (purchases) of the same user, then the goal-metric window family in
+    ONE window partitioning — W2 rank (impact_event_group_rank), W6
+    count over CURRENT→FOLLOWING (sessions-to-goal), W7 sum over the
+    same remaining frame (time-to-goal with the click value standing in
+    for session duration), W10 multi-touch revenue share."""
+    from audience_behavior_semantic_etl_spark.operators.windows import (
+        goal_metrics_columns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    goals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("g_user_id"),
+        F.col("event_id").alias("g_event_id"),
+        F.col("ts").alias("g_ts"),
+        F.col("value").alias("g_revenue"),
+    )
+    impacts = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("i_user_id"),
+        F.col("event_id").alias("i_event_id"),
+        F.col("ts").alias("i_ts"),
+        F.col("value").alias("i_weight"),
+    )
+    joined = perform_join_ex(
+        impacts,
+        goals,
+        (F.col("i1.i_user_id") == F.col("i2.g_user_id"))
+        & (F.col("i1.i_ts") < F.col("i2.g_ts")),
+        how="inner",
+    )
+    out = goal_metrics_columns(
+        joined,
+        goal_group_col="g_event_id",
+        impact_ts_col="i_ts",
+        impact_id_col="i_event_id",
+        revenue_col="g_revenue",
+        impact_duration_col="i_weight",
+    )
+    secs = F.col("g_ts").cast("timestamp").cast("double") - F.col("i_ts").cast(
+        "timestamp"
+    ).cast("double")
+    return out.select(
+        "g_event_id",
+        "i_event_id",
+        F.col("g_user_id").alias("user_id"),
+        F.col("impact_event_group_rank").alias("impact_rank"),
+        F.col("sd_sessions_to_goal").alias("impacts_remaining"),
+        # division produces exact .xxx5 ties (revenue/2, /4, ...) where
+        # Spark's HALF_UP and the oracle's fp round disagree by one ulp;
+        # floor-quantizing the SAME fp expression is bit-identical on
+        # both engines (pure IEEE ops, no rounding convention involved)
+        F.floor(
+            F.col("g_revenue")
+            * F.lit(10000)
+            / F.count("g_revenue").over(
+                Window.partitionBy("g_event_id")
+                .orderBy("i_ts", "i_event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+        ).alias("multi_touch_rev_e4"),
+        F.round("sd_time_to_goal", 2).alias("weight_to_goal"),
+        F.round(secs, 2).alias("seconds_to_goal"),
+    )
+
+
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window aggregation (30-min gap) — the
     built-in counterpart of our window-algebra sessionize (§2.7); the
@@ -852,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_as_of_join": q_as_of_join,
+        "q_goal_attribution": q_goal_attribution,
         "q_session_window_native": q_session_window_native,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
@@ -1372,6 +1441,29 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM sess GROUP BY user_id, sid
+        """,
+        # goal attribution: rank + remaining-frame + multi-touch over
+        # the impact-to-goal theta join, one window spec
+        "q_goal_attribution": """
+            WITH g AS (SELECT user_id, event_id AS g_event_id, ts AS g_ts, value AS g_revenue
+                       FROM events WHERE event_type = 'purchase'),
+                 i AS (SELECT user_id, event_id AS i_event_id, ts AS i_ts, value AS i_weight
+                       FROM events WHERE event_type = 'click'),
+                 j AS (SELECT g.g_event_id, i.i_event_id, g.user_id, g.g_ts, g.g_revenue,
+                              i.i_ts, i.i_weight
+                       FROM i JOIN g ON i.user_id = g.user_id AND i.i_ts < g.g_ts)
+            SELECT g_event_id, i_event_id, user_id,
+                   CAST(rank() OVER w AS INTEGER) AS impact_rank,
+                   count(*) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - 1
+                       AS impacts_remaining,
+                   CAST(floor(g_revenue * 10000 / count(g_revenue) OVER (
+                       w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS BIGINT)
+                       AS multi_touch_rev_e4,
+                   round(sum(i_weight) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                         - i_weight, 2) AS weight_to_goal,
+                   round(epoch(g_ts) - epoch(i_ts), 2) AS seconds_to_goal
+            FROM j
+            WINDOW w AS (PARTITION BY g_event_id ORDER BY i_ts, i_event_id)
         """,
         # AS-OF join: DuckDB's native ASOF JOIN is the oracle
         "q_as_of_join": """

@@ -30,7 +30,28 @@ class MetricAnalysisError(Exception):
 
 def resolve_metric_layers(df: DataFrame, metrics: dict[str, str]) -> list[dict[str, str]]:
     """Stratify ``metrics`` (name -> SQL expression, unordered, may
-    reference other metric names) into dependency layers."""
+    reference other metric names) into dependency layers.
+
+    Ambiguity detection (reference: MetricResolver.scala:162-165 raises
+    MetricAnalysisException on ambiguous references): a metric name
+    that collides with an input column — or with another metric under
+    Spark's case-insensitive resolution — would make every reference to
+    that name ambiguous (withColumn would silently REPLACE the input
+    column, changing the meaning of expressions that meant the
+    original). Rejected up front with the offending names."""
+    lower_seen: dict[str, str] = {}
+    dupes: list[str] = []
+    for name in metrics:
+        low = name.lower()
+        if low in lower_seen:
+            dupes.append(f"{name!r} vs metric {lower_seen[low]!r}")
+        lower_seen[low] = name
+    input_lower = {c.lower(): c for c in df.columns}
+    for name in metrics:
+        if name.lower() in input_lower:
+            dupes.append(f"{name!r} vs input column {input_lower[name.lower()]!r}")
+    if dupes:
+        raise MetricAnalysisError(f"ambiguous metric references: {sorted(dupes)}")
     remaining = dict(metrics)
     layers: list[dict[str, str]] = []
     cur = df

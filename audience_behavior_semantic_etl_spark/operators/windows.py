@@ -209,3 +209,44 @@ def multi_touch_share(value_col: str, w: WindowSpec) -> Column:
     """``value / count(value) over full-frame`` — the reference's
     multi-touch revenue share (AcmeDailyETL.scala:350,358,367-368)."""
     return F.col(value_col) / F.count(F.col(value_col)).over(full_frame(w))
+
+
+def goal_metrics_columns(
+    df: DataFrame,
+    goal_group_col: str,
+    impact_ts_col: str,
+    impact_id_col: str,
+    revenue_col: str,
+    impact_duration_col: str | None = None,
+) -> DataFrame:
+    """The reference's goal-attribution metric family
+    (AcmeDailyETL.scala:341-370), one Window partitioning — applied to
+    the impact×goal join output, one row per (goal, impact event):
+
+    - ``sd_sessions_to_goal``: count over CURRENT ROW → UNBOUNDED
+      FOLLOWING minus 1 (W6, ``:356-358``) — impacts still ahead of
+      this one before the goal fires.
+    - ``sd_time_to_goal``: sum of impact-session duration over the same
+      remaining frame minus own duration (W7, ``:359-361``).
+    - ``sd_multi_touch_attr_revenue``: revenue split equally across the
+      goal's impact touches (W10, ``:367-368``).
+    - ``impact_event_group_rank``: ``rank()`` over the group (W2,
+      ``:350,369-370``) — last-touch attribution picks rank 1 /
+      max-rank rows downstream.
+
+    All four share one partitioning (the goal group) and ordering
+    (impact time, id tiebreak for deterministic frames), so Spark plans
+    a single Window operator — one shuffle."""
+    w = Window.partitionBy(goal_group_col).orderBy(impact_ts_col, impact_id_col)
+    remaining = current_to_end(w)
+    out = df.withColumn(
+        "sd_sessions_to_goal", F.count(F.lit(1)).over(remaining) - F.lit(1)
+    )
+    if impact_duration_col is not None:
+        out = out.withColumn(
+            "sd_time_to_goal",
+            F.sum(impact_duration_col).over(remaining) - F.col(impact_duration_col),
+        )
+    return out.withColumn(
+        "sd_multi_touch_attr_revenue", multi_touch_share(revenue_col, w)
+    ).withColumn("impact_event_group_rank", F.rank().over(w))

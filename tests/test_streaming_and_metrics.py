@@ -24,6 +24,14 @@ def test_metric_layers_resolve_and_error(spark):
     with pytest.raises(MetricAnalysisError):
         resolve_metric_layers(df, {"bad": "no_such_col + 1"})
 
+    # ambiguity detection (MetricResolver.scala:162-165): a metric name
+    # shadowing an input column (case-insensitive, Spark resolution) or
+    # another metric is rejected up front
+    with pytest.raises(MetricAnalysisError, match="ambiguous"):
+        resolve_metric_layers(df, {"a": "b * 2"})
+    with pytest.raises(MetricAnalysisError, match="ambiguous"):
+        resolve_metric_layers(df, {"m1": "a + b", "M1": "a - b"})
+
 
 def test_tumbling_window_counts_equals_batch(spark, tmp_path):
     from audience_behavior_semantic_etl_spark.streaming.windowed import tumbling_window_counts
@@ -114,6 +122,54 @@ def test_etl_process_dag(spark, tmp_path):
     bad2 = ETLStep("b", "", lambda d: d["a"], inputs=("a",))
     with _pytest.raises(ValueError, match="cycle"):
         ETLProcess([bad, bad2]).topo_order()
+
+
+def test_daily_cubes_pipeline(spark, tmp_path):
+    """The AcmeDailyETL-style multi-cube DAG: all five cubes build from
+    one event stream, persisted cubes land partitioned on disk and are
+    queryable as temp views, and the goals cube carries the full
+    goal-metric family (rank / sessions-to-goal / time-to-goal /
+    multi-touch)."""
+    import os
+
+    from audience_behavior_semantic_etl_spark.plans.daily_cubes import build_daily_cubes
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "cubes")
+    proc = build_daily_cubes(spark, events, out)
+    resolved = proc.run()
+
+    n_sessions = resolved["sd_session_metrics"].count()
+    assert n_sessions > 0
+    # persisted + partitioned + registered
+    assert any(d.startswith("sd_month=") for d in os.listdir(f"{out}/sd_session_metrics"))
+    assert spark.table("sd_session_metrics").count() == n_sessions
+    assert spark.table("sd_goals").count() == resolved["sd_goals"].count() > 0
+
+    g = resolved["sd_goals"]
+    for c in (
+        "impact_event_group_rank",
+        "sd_sessions_to_goal",
+        "sd_time_to_goal",
+        "sd_multi_touch_attr_revenue",
+    ):
+        assert c in g.columns
+    # invariants: rank 1 exists per goal; multi-touch shares of one goal
+    # sum back to its revenue; remaining-counter ends at 0
+    one = g.groupBy("g_event_id").agg(
+        F.min("impact_event_group_rank").alias("rk_min"),
+        F.min("sd_sessions_to_goal").alias("remain_min"),
+        F.round(F.sum("sd_multi_touch_attr_revenue"), 4).alias("share_sum"),
+        F.round(F.max("g_revenue"), 4).alias("rev"),
+    )
+    bad = one.filter(
+        (F.col("rk_min") != 1) | (F.col("remain_min") != 0) | (F.col("share_sum") != F.col("rev"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    # user cube consistency: total sessions match
+    assert (
+        resolved["sd_user_metrics"].agg(F.sum("n_sessions")).collect()[0][0] == n_sessions
+    )
 
 
 def test_stateful_running_counts(spark, tmp_path):
