@@ -666,11 +666,15 @@ def q_enrich_useragent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ua"),
     )
     parsed = ev.withColumn("u", parse_user_agent_udf(F.col("ua")))
+    # patch / os-version fields coalesce to '-' (a null string column
+    # round-trips differently through pandas on the two engines)
     return parsed.select(
         "event_id",
         F.col("u.family").alias("browser_family"),
         F.col("u.major").alias("browser_major"),
+        F.coalesce(F.col("u.patch"), F.lit("-")).alias("browser_patch"),
         F.col("u.os_family").alias("os_family"),
+        F.coalesce(F.col("u.os_major"), F.lit("-")).alias("os_major"),
         F.col("u.device_family").alias("device_family"),
     )
 
@@ -698,6 +702,7 @@ def q_enrich_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ip",
         F.col("g.country_code").alias("country_code"),
         F.col("g.continent").alias("continent"),
+        F.col("g.postal_code").alias("postal_code"),
         F.round(haversine_km(F.col("g.lat"), F.col("g.lon"), F.lit(0.0), F.lit(0.0)), 1).alias(
             "km_to_origin"
         ),
@@ -769,6 +774,49 @@ def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.round(F.col("asof_pvalue"), 2).alias("last_purchase_value"),
+    )
+
+
+def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 raw JSON ingestion (sources.json_ingest): the reference's
+    gzip-JSON entry point (AcmeDailyETL.scala:382-383) with an EXPLICIT
+    schema instead of per-run inference. The events table is dumped to
+    gzip JSON-lines deterministically, read back through the ingest
+    path, and aggregated — equal to aggregating the original table,
+    which is the oracle."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from audience_behavior_semantic_etl_spark.sources.json_ingest import (
+        read_json_events,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="json-ingest-")
+    ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+    ).write.mode("overwrite").option("compression", "gzip").json(d)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    back = read_json_events(spark, d, schema=schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+        F.max("ts").alias("max_ts"),
     )
 
 
@@ -921,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_as_of_join": q_as_of_join,
         "q_goal_attribution": q_goal_attribution,
+        "q_json_ingest": q_json_ingest,
         "q_session_window_native": q_session_window_native,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
@@ -1374,8 +1423,12 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'Firefox' WHEN 3 THEN 'Edge' ELSE 'Chrome' END AS browser_family,
                    CASE event_id % 5 WHEN 0 THEN '120' WHEN 1 THEN '16'
                         WHEN 2 THEN '118' WHEN 3 THEN '119' ELSE '121' END AS browser_major,
+                   CASE event_id % 5 WHEN 0 THEN '0' WHEN 1 THEN '-'
+                        WHEN 2 THEN '-' WHEN 3 THEN '2151' ELSE '6167' END AS browser_patch,
                    CASE event_id % 5 WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
                         WHEN 2 THEN 'Linux' WHEN 3 THEN 'Windows' ELSE 'Android' END AS os_family,
+                   CASE event_id % 5 WHEN 0 THEN '10' WHEN 1 THEN '16'
+                        WHEN 2 THEN '-' WHEN 3 THEN '10' ELSE '13' END AS os_major,
                    CASE event_id % 5 WHEN 0 THEN 'Desktop' WHEN 1 THEN 'iPhone'
                         WHEN 2 THEN 'Desktop' WHEN 3 THEN 'Desktop' ELSE 'Mobile' END AS device_family
             FROM events
@@ -1396,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    o1 || '.' || o2 || '.0.1' AS ip,
                    country_code, continent,
+                   lpad(CAST((o1 * 256 + o2) % 100000 AS VARCHAR), 5, '0') AS postal_code,
                    round(2 * 6371 * asin(sqrt(
                        power(sin(radians(0 - lat) / 2), 2)
                        + cos(radians(lat)) * cos(radians(0)) * power(sin(radians(0 - lon) / 2), 2)
@@ -1441,6 +1495,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM sess GROUP BY user_id, sid
+        """,
+        # raw JSON ingestion: gzip JSON roundtrip == original table agg
+        "q_json_ingest": """
+            SELECT event_type, count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_value,
+                   max(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')) AS max_ts
+            FROM events GROUP BY event_type
         """,
         # goal attribution: rank + remaining-frame + multi-touch over
         # the impact-to-goal theta join, one window spec

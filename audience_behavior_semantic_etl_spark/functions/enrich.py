@@ -28,29 +28,36 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Full reference struct shape (UserAgentFunctions.scala:25-31):
+# UserAgent(family, major, minor, patch, os(family, major, minor),
+# device(family)) — flattened here with os_/device_ prefixes, which is
+# what the reference's enrich-then-RenameColumns chain produced anyway.
 UA_STRUCT = T.StructType(
     [
         T.StructField("family", T.StringType()),
         T.StructField("major", T.StringType()),
         T.StructField("minor", T.StringType()),
+        T.StructField("patch", T.StringType()),
         T.StructField("os_family", T.StringType()),
+        T.StructField("os_major", T.StringType()),
+        T.StructField("os_minor", T.StringType()),
         T.StructField("device_family", T.StringType()),
     ]
 )
 
 _UA_BROWSERS = [
-    ("Edge", re.compile(r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)")),
-    ("Chrome", re.compile(r"Chrome/(\d+)\.(\d+)")),
-    ("Firefox", re.compile(r"Firefox/(\d+)\.(\d+)")),
-    ("Safari", re.compile(r"Version/(\d+)\.(\d+).*Safari")),
+    ("Edge", re.compile(r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)(?:\.(\d+))?")),
+    ("Chrome", re.compile(r"Chrome/(\d+)\.(\d+)(?:\.(\d+))?")),
+    ("Firefox", re.compile(r"Firefox/(\d+)\.(\d+)(?:\.(\d+))?")),
+    ("Safari", re.compile(r"Version/(\d+)\.(\d+)(?:\.(\d+))?.*Safari")),
     ("IE", re.compile(r"MSIE (\d+)\.(\d+)")),
 ]
 _UA_OS = [
-    ("Windows", re.compile(r"Windows NT")),
-    ("iOS", re.compile(r"iPhone|iPad|iPod")),
-    ("Mac OS X", re.compile(r"Mac OS X")),
-    ("Android", re.compile(r"Android")),
-    ("Linux", re.compile(r"Linux")),
+    ("Windows", re.compile(r"Windows NT (\d+)(?:\.(\d+))?")),
+    ("iOS", re.compile(r"(?:iPhone|iPad|iPod).*?OS (\d+)[._](\d+)?")),
+    ("Mac OS X", re.compile(r"Mac OS X (\d+)[._](\d+)?")),
+    ("Android", re.compile(r"Android (\d+)(?:\.(\d+))?")),
+    ("Linux", re.compile(r"Linux()()")),
 ]
 _UA_DEVICE = [
     ("iPhone", re.compile(r"iPhone")),
@@ -58,27 +65,38 @@ _UA_DEVICE = [
     ("Mobile", re.compile(r"Mobile|Android")),
 ]
 
+_UA_COLS = [
+    "family", "major", "minor", "patch",
+    "os_family", "os_major", "os_minor", "device_family",
+]
+
 
 def _parse_ua_batch(s: pd.Series) -> pd.DataFrame:
-    fam, major, minor, osf, dev = [], [], [], [], []
+    rows = []
     for ua in s:
         if not isinstance(ua, str) or not ua:
-            fam.append(None); major.append(None); minor.append(None)
-            osf.append(None); dev.append(None)
+            rows.append((None,) * len(_UA_COLS))
             continue
-        f = mj = mn = None
+        f = mj = mn = pt = None
         for name, rx in _UA_BROWSERS:
             m = rx.search(ua)
             if m:
-                f, mj, mn = name, m.group(1), m.group(2)
+                g = m.groups()
+                f, mj, mn = name, g[0], g[1]
+                pt = g[2] if len(g) > 2 else None
                 break
-        o = next((name for name, rx in _UA_OS if rx.search(ua)), "Other")
+        o, omj, omn = "Other", None, None
+        for name, rx in _UA_OS:
+            m = rx.search(ua)
+            if m:
+                g = m.groups()
+                o = name
+                omj = g[0] or None
+                omn = (g[1] or None) if len(g) > 1 else None
+                break
         d = next((name for name, rx in _UA_DEVICE if rx.search(ua)), "Desktop")
-        fam.append(f or "Other"); major.append(mj); minor.append(mn)
-        osf.append(o); dev.append(d)
-    return pd.DataFrame(
-        {"family": fam, "major": major, "minor": minor, "os_family": osf, "device_family": dev}
-    )
+        rows.append((f or "Other", mj, mn, pt, o, omj, omn, d))
+    return pd.DataFrame(rows, columns=_UA_COLS)
 
 
 @F.pandas_udf(UA_STRUCT)
@@ -87,10 +105,14 @@ def parse_user_agent_udf(ua: pd.Series) -> pd.DataFrame:
     return _parse_ua_batch(ua)
 
 
+# Full reference struct shape (geoip/IpLocation.scala:28-35): country /
+# continent / postalCode / geoPoint(lat, lon) — postal code included so
+# a reference user's downstream projections keep working.
 IP_STRUCT = T.StructType(
     [
         T.StructField("country_code", T.StringType()),
         T.StructField("continent", T.StringType()),
+        T.StructField("postal_code", T.StringType()),
         T.StructField("lat", T.DoubleType()),
         T.StructField("lon", T.DoubleType()),
     ]
@@ -115,11 +137,12 @@ def _lookup_ip(ip: str):
         return _geo_cache[ip]
     m = _IP_RE.match(ip) if isinstance(ip, str) else None
     if not m or any(int(g) > 255 for g in m.groups()):
-        res = (None, None, None, None)
+        res = (None, None, None, None, None)
     else:
         # STUB: deterministic bucket of the /16 prefix — NOT a real geo DB.
-        bucket = (int(m.group(1)) * 256 + int(m.group(2))) % len(_COUNTRIES)
-        res = _COUNTRIES[bucket]
+        pfx = int(m.group(1)) * 256 + int(m.group(2))
+        cc, cont, lat, lon = _COUNTRIES[pfx % len(_COUNTRIES)]
+        res = (cc, cont, f"{pfx % 100000:05d}", lat, lon)
     if len(_geo_cache) < 10_000:
         _geo_cache[ip] = res
     return res
@@ -129,4 +152,6 @@ def _lookup_ip(ip: str):
 def parse_ip_udf(ip: pd.Series) -> pd.DataFrame:
     """Vectorized IP -> geo struct (reference U2 analog; stub DB)."""
     rows = [_lookup_ip(v) for v in ip]
-    return pd.DataFrame(rows, columns=["country_code", "continent", "lat", "lon"])
+    return pd.DataFrame(
+        rows, columns=["country_code", "continent", "postal_code", "lat", "lon"]
+    )

@@ -124,6 +124,37 @@ def test_etl_process_dag(spark, tmp_path):
         ETLProcess([bad, bad2]).topo_order()
 
 
+def test_json_ingest_poison_policy(spark, tmp_path):
+    """Raw-JSON ingest follows the CDC poison-message policy: explicit
+    schema, FAILFAST by default, quarantine splits corrupt lines."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from audience_behavior_semantic_etl_spark.sources.json_ingest import (
+        read_json_events,
+        split_corrupt,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"event_id": 1, "event_type": "click"}\n'
+        "{this is not json\n"
+        '{"event_id": 2, "event_type": "view"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("event_id", T.LongType()), T.StructField("event_type", T.StringType())]
+    )
+    with _pytest.raises(Exception):
+        read_json_events(spark, str(d), schema=schema).collect()
+
+    clean, corrupt = split_corrupt(
+        read_json_events(spark, str(d), schema=schema, on_malformed="quarantine")
+    )
+    assert sorted(r["event_id"] for r in clean.collect()) == [1, 2]
+    assert corrupt.count() == 1
+
+
 def test_daily_cubes_pipeline(spark, tmp_path):
     """The AcmeDailyETL-style multi-cube DAG: all five cubes build from
     one event stream, persisted cubes land partitioned on disk and are
