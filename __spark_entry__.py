@@ -777,6 +777,35 @@ def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 session flags: max(predicate) over the full session frame
+    (operators.windows.session_flag_columns) on top of sessionize —
+    still ONE shuffle end-to-end (key_col threads the partitioning)."""
+    from audience_behavior_semantic_etl_spark.operators.windows import (
+        session_flag_columns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800.0)
+    m = session_metrics_columns(s, session_col="sd_session_id", ts_col="ts", key_col="user_id")
+    flagged = session_flag_columns(
+        m,
+        {
+            "sd_session_converted": F.col("event_type") == "purchase",
+            "sd_session_had_error": F.col("event_type") == "error",
+        },
+        key_col="user_id",
+    )
+    one = filter_session_rows(flagged)
+    return one.select(
+        "user_id",
+        F.col("sd_session_start_time").cast("string").alias("session_start"),
+        F.col("sd_session_event_count").alias("n_events"),
+        "sd_session_converted",
+        "sd_session_had_error",
+    )
+
+
 def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 raw JSON ingestion (sources.json_ingest): the reference's
     gzip-JSON entry point (AcmeDailyETL.scala:382-383) with an EXPLICIT
@@ -970,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_as_of_join": q_as_of_join,
         "q_goal_attribution": q_goal_attribution,
         "q_json_ingest": q_json_ingest,
+        "q_session_flags": q_session_flags,
         "q_session_window_native": q_session_window_native,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
     }
@@ -1495,6 +1525,30 @@ def oracle_sql() -> dict[str, str]:
                    strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM sess GROUP BY user_id, sid
+        """,
+        # W8 session flags: same session CTE as q_sessionize + max(pred)
+        "q_session_flags": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, event_type,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sn
+              FROM g
+            )
+            SELECT user_id,
+                   CAST(min(ts) AS VARCHAR) AS session_start,
+                   count(*) AS n_events,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER)
+                       AS sd_session_converted,
+                   CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INTEGER)
+                       AS sd_session_had_error
+            FROM s GROUP BY user_id, sn
         """,
         # raw JSON ingestion: gzip JSON roundtrip == original table agg
         "q_json_ingest": """

@@ -117,6 +117,26 @@ def session_metrics_columns(
     return out
 
 
+def session_flag_columns(
+    df: DataFrame,
+    flags: Mapping[str, Column],
+    session_col: str = "sd_session_id",
+    ts_col: str = "ts",
+    key_col: str | None = None,
+) -> DataFrame:
+    """W8: session-level boolean flags — ``max(predicate) OVER
+    (session, full frame)`` (the reference's converted/has-goal session
+    flags, ETLExpressions.scala window family). ``flags`` maps output
+    name -> per-event predicate Column; every flag shares one window
+    partitioning (and, with ``key_col``, the sessionize partitioning —
+    no extra shuffle, see session_metrics_columns)."""
+    parts = ([key_col] if key_col else []) + [session_col]
+    wf = full_frame(Window.partitionBy(*parts).orderBy(ts_col))
+    return df.withColumns(
+        {name: F.max(pred.cast("int")).over(wf) for name, pred in flags.items()}
+    )
+
+
 def filter_session_rows(df: DataFrame, row_col: str = "sd_session_row") -> DataFrame:
     """Keep one row per session: ``row_number = 1``
     (reference ETLExpressions.scala:208)."""
