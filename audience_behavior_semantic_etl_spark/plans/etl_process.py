@@ -103,3 +103,22 @@ class ETLProcess:
             s = self.steps[name]
             lines.append(f"{name} <- {list(s.inputs)} persist={bool(s.persist_path)}")
         return "\n".join(lines)
+
+    def show_plan(self, mode: str = "formatted") -> str:
+        """Per-step physical plan printout — the reference's
+        ``showETLPlan`` (M4, ETLProcess.scala). Builds every step
+        (lazily, no actions) and renders each DataFrame's plan in the
+        given explain mode, so the DAG's shuffle/pushdown story is
+        inspectable before any job runs."""
+        resolved: dict[str, DataFrame] = {}
+        out = []
+        for name in self.topo_order():
+            step = self.steps[name]
+            df = step.run(resolved)
+            resolved[name] = df
+            spark = df.sparkSession
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+            )
+            out.append(f"== step: {name} ==\n{plan}")
+        return "\n".join(out)

@@ -201,6 +201,9 @@ def test_daily_cubes_pipeline(spark, tmp_path):
     assert (
         resolved["sd_user_metrics"].agg(F.sum("n_sessions")).collect()[0][0] == n_sessions
     )
+    # M4 showETLPlan: every step's physical plan renders without running
+    plan = build_daily_cubes(spark, events, str(tmp_path / "cubes2")).show_plan()
+    assert "== step: sd_goals ==" in plan and "Window" in plan
 
 
 def test_stateful_running_counts(spark, tmp_path):
