@@ -100,6 +100,11 @@ def main() -> int:
         help="WAL chunk files per micro-batch (256 total chunks); larger "
              "batches amortize the per-batch fixed driver cost",
     )
+    ap.add_argument(
+        "--codec", default=None,
+        help="parquet compression codec override for spool+table writes "
+             "(snappy default; lz4/zstd/uncompressed trade CPU vs bytes)",
+    )
     args = ap.parse_args()
 
     from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig
@@ -116,6 +121,8 @@ def main() -> int:
     # stays on disk (reads are page-cached, as a warm source would be).
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     extra = {"spark.local.dir": os.path.join(shm, "spark-local")}
+    if args.codec:
+        extra["spark.sql.parquet.compression.codec"] = args.codec
     # Heap scaled PER EXECUTOR THREAD (0.75g each, like fixed-size
     # executors on a real cluster, where 4N executors bring 4x total
     # heap). A single giant shared heap is actively harmful: G1 at 32

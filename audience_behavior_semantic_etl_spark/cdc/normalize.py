@@ -43,12 +43,24 @@ def canonical_text(s: str | None) -> str | None:
 def canonical_text_col(c):
     """``canonical_text`` as an Arrow-batched single-column pandas UDF —
     the ONLY Python on the apply hot path (unicode NFC normalization has
-    no Catalyst expression). Everything else in the normalizer is
-    JVM-side; this ships one string column per batch over Arrow."""
-    from pyspark.sql.functions import pandas_udf
+    no Catalyst expression).
 
-    @pandas_udf("string")
+    JVM fast path: text that is tab/LF/printable-ASCII only with no
+    trailing whitespace is canonical BY DEFINITION (ASCII is always NFC;
+    the dirty classes are CR/control chars/trailing blanks) — that is
+    the overwhelming majority of real transcript rows. Spark pulls
+    Python UDFs out of CASE branches and evaluates them for EVERY row,
+    so conditional invocation alone would not skip the Arrow round-trip;
+    instead the UDF input is MASKED to null for clean rows (nulls are
+    ~free to ship and `map` skips them) and ``coalesce`` restores the
+    original text. Python now touches only the rows that can actually
+    change."""
+    from pyspark.sql import functions as F
+
+    dirty = c.rlike(r"[^\x09\x0A\x20-\x7E]") | c.rlike(r"[ \t]+(\n|$)")
+
+    @F.pandas_udf("string")
     def _canon(s: pd.Series) -> pd.Series:
         return s.map(canonical_text, na_action="ignore")
 
-    return _canon(c)
+    return F.coalesce(_canon(F.when(dirty, c)), c)
