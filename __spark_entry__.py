@@ -228,6 +228,38 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_projection_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct coverage for U3 (spkl_date_time), U4 (spkl_format_date),
+    P3 (DropColumns), P6 (SQLAddColumns escape hatch) in one pipeline —
+    all previously exercised only indirectly."""
+    from audience_behavior_semantic_etl_spark.functions.datetime_fns import (
+        spkl_date_time,
+        spkl_format_date,
+    )
+    from audience_behavior_semantic_etl_spark.operators.projection import (
+        drop_columns,
+        sql_add_columns,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    x = orders.withColumn("o_millis", spkl_date_time("o_orderdate")).withColumn(
+        "o_day", spkl_format_date("o_orderdate")
+    )
+    x = drop_columns(
+        x,
+        [
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority", "o_clerk", "o_shippriority", "o_comment",
+        ],
+    )
+    return sql_add_columns(
+        x,
+        "SELECT o_orderkey, o_millis, o_day, substr(o_day, 1, 4) AS o_year_str "
+        "FROM t_proj",
+        "t_proj",
+    )
+
+
 def q_sum_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/U8 sum_maps UDAF analog: per-user action-profile map, exploded
     back to sorted rows for a stable comparison."""
@@ -963,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_date_parts": q_date_parts,
         "q_sum_maps": q_sum_maps,
+        "q_projection_datetime": q_projection_datetime,
         "q_parse_url": q_parse_url,
         "q_calc_percent": q_calc_percent,
         "q_conversion_two_level": q_conversion_two_level,
@@ -1179,6 +1212,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
             FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_projection_datetime": """
+            SELECT o_orderkey,
+                   CAST(epoch_ms(o_orderdate) AS BIGINT) AS o_millis,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+                   substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS o_year_str
+            FROM orders
         """,
         "q_sum_maps": """
             SELECT user_id, event_type, count(*) AS n_events
