@@ -232,6 +232,79 @@ class SnapshotTable:
             S.LSN_META_COL, S.DELETED_META_COL
         )
 
+    def read_key(self, conv_id: str, version: int | None = None) -> DataFrame:
+        """Point lookup: the live turns of ONE conversation, touching
+        only its bucket's files — the bucket transform is applied
+        DRIVER-side to the literal key, so the scan is O(one bucket),
+        not O(table), and the residual filter+LWW run over a single
+        bucket's rows (the Iceberg bucket-transform partition-pruning
+        story, reproduced on the manifest)."""
+        m = self.manifest(version)
+        b = (
+            self.spark.range(1)
+            .select(bucket_expr(F.lit(conv_id), m.n_buckets).alias("b"))
+            .collect()[0]["b"]
+        )
+        raw = self.read_raw(buckets=[int(b)], version=version).where(
+            F.col("conv_id") == conv_id
+        )
+        return self._resolve_final(raw)
+
+    def _resolve_final(self, raw: DataFrame) -> DataFrame:
+        """LWW + tombstone-filter + meta-drop over an already-scoped raw
+        frame (shared by read_final-style views)."""
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col(S.LSN_META_COL).desc())
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .filter(~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False)))
+            .drop(S.LSN_META_COL, S.DELETED_META_COL)
+        )
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental consumption (CDC-out): every row VERSION written
+        by commits AFTER ``from_version`` up to ``to_version``/current —
+        the files those snapshots appended, nothing else. Downstream
+        consumers chain pipelines without rescanning the table
+        (Iceberg incremental reads / Hudi incremental queries).
+        Tombstones appear with ``_deleted = true`` so deletions
+        propagate; ``_lsn`` orders multiple versions of a key.
+
+        A commit that REWRITES files (compaction) carries no new row
+        versions, and appends after it are relative to the rewritten
+        base — an incremental window crossing one is ambiguous, so it
+        is refused (detected STRUCTURALLY: the commit removed files
+        from its parent) and the caller re-syncs with a full read —
+        the standard Iceberg incremental-read limitation."""
+        m_to = self.manifest(to_version)
+        cur = m_to.version
+        new_files: list[str] = []
+        v = cur
+        while v > from_version:
+            man = self.manifest(v)
+            parent = self.manifest(man.parent) if man.parent is not None else None
+            prev_files = (
+                {f for fs in parent.buckets.values() for f in fs} if parent else set()
+            )
+            cur_files = {f for fs in man.buckets.values() for f in fs}
+            if prev_files - cur_files:
+                raise ValueError(
+                    f"incremental window ({from_version}, {cur}] crosses a "
+                    f"file-rewriting commit (compaction/purge) at v{v}; "
+                    "re-sync with a full read"
+                )
+            new_files.extend(cur_files - prev_files)
+            if man.parent is None:
+                break
+            v = man.parent
+        cols = [(n, S.type_from_name(t)) for n, t in m_to.columns]
+        schema = S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in sorted(set(new_files))]
+        return self.spark.read.schema(schema).parquet(*paths)
+
     # ------------------------------------------------------------ write
 
     def is_batch_committed(self, app_id: str, batch_id: int) -> bool:

@@ -395,6 +395,45 @@ def test_gc_orphans_spares_fresh_staging_dirs(spark, tmp_path):
     assert not os.path.isdir(stale), "crashed (old) staging dir is reclaimed"
 
 
+def test_read_key_point_lookup_prunes_to_one_bucket(spark, small_log, tmp_path):
+    """read_key resolves one conversation touching only its bucket's
+    files — O(bucket), not O(table)."""
+    log, oracle = small_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_batch(_envelope_df(spark, log), table, 0)
+    conv = oracle["conv_id"].iloc[0]
+    got = table.read_key(conv).toPandas().sort_values("turn_idx")
+    want = oracle[oracle["conv_id"] == conv].sort_values("turn_idx")
+    assert list(got["text"]) == list(want["text"])
+    n_total = sum(len(fs) for fs in table.manifest().buckets.values())
+    n_scanned = len(table.read_key(conv).inputFiles())
+    assert n_scanned < n_total, "point lookup scanned the whole table"
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    """Incremental CDC-out: each window returns exactly the row versions
+    its commits appended (tombstones included); windows crossing a
+    compaction are refused."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    v0 = table.manifest().version
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "A"), (2, "update", "B")])), table, 0)
+    v1 = table.manifest().version
+    ch1 = table.read_changes(v0).toPandas()
+    assert sorted(ch1["_lsn"]) == [1, 2]
+    apply_batch(_envelope_df(spark, _mk_events([(3, "delete", "")])), table, 1)
+    v2 = table.manifest().version
+    ch2 = table.read_changes(v1, v2).toPandas()
+    assert list(ch2["_lsn"]) == [3] and bool(ch2["_deleted"].iloc[0])
+    # full window still fine pre-compaction
+    assert sorted(table.read_changes(v0).toPandas()["_lsn"]) == [1, 2, 3]
+    table.compact_buckets([int(b) for b in table.manifest().buckets])
+    v3 = table.manifest().version
+    with pytest.raises(ValueError, match="re-sync"):
+        table.read_changes(v1)
+    apply_batch(_envelope_df(spark, _mk_events([(9, "insert", "C")])), table, 2)
+    assert list(table.read_changes(v3).toPandas()["_lsn"]) == [9]
+
+
 def test_watermarks_monotone_per_source_part(spark, small_log, tmp_path):
     """Snapshot watermarks advance monotonically per source partition
     and end at each part's max lsn."""
