@@ -86,6 +86,14 @@ class ApplyConfig:
     # in-batch pre-collapse engages when batch events/key exceeds this
     # (read-side LWW makes it optional; it only pays off under churn)
     dedup_churn_threshold: float = 4.0
+    # run compaction on a background thread, OVERLAPPING the next
+    # micro-batch instead of stalling the stream: safe because commits
+    # are optimistic (fresh-manifest mutation under the commit lock) and
+    # the rewrite-vs-append conflict rule retains deltas appended while
+    # the compaction ran (table.commit_merged_buckets). At most one
+    # compaction is in flight per table; apply joins the previous one
+    # before scheduling the next.
+    async_compact: bool = True
 
 
 def winners_schema(table: SnapshotTable) -> T.StructType:
@@ -235,6 +243,40 @@ class BatchMetrics:
     deduped: bool = False
     malformed: int = 0
     phases: dict | None = None  # phase -> seconds (spool/stats/census/write/commit/compact)
+
+
+# one background compaction per table root: (thread, error holder)
+_COMPACTIONS: dict[str, tuple] = {}
+
+
+def _spawn_compaction(table: SnapshotTable, buckets: list[int], shuffle_n: int) -> None:
+    import threading
+
+    err: list[BaseException] = []
+
+    def run() -> None:
+        try:
+            table.compact_buckets(buckets, shuffle_partitions=shuffle_n)
+        except BaseException as e:  # surfaced by join_pending_compaction
+            err.append(e)
+
+    t = threading.Thread(target=run, name=f"compact-{table.root}", daemon=True)
+    _COMPACTIONS[table.root] = (t, err)
+    t.start()
+
+
+def join_pending_compaction(table: SnapshotTable) -> None:
+    """Wait for the table's in-flight background compaction (no-op if
+    none) and re-raise its failure. apply_batch calls this before
+    scheduling a new compaction; stream shutdown should call it so the
+    final table state is fully folded."""
+    pending = _COMPACTIONS.pop(table.root, None)
+    if pending is None:
+        return
+    t, err = pending
+    t.join()
+    if err:
+        raise err[0]
 
 
 def _needs_spool(df: DataFrame) -> bool:
@@ -525,11 +567,17 @@ def apply_batch(
         _phase("commit")
 
         # -- amortized compaction ------------------------------------------
+        # join the previous batch's background compaction first (at most
+        # one in flight; also surfaces its exceptions on the stream)
+        join_pending_compaction(table)
         compacted = 0
         if cfg.auto_compact:
             over = table.buckets_over_threshold(cfg.compact_max_files)
             if over:
-                table.compact_buckets(over, shuffle_partitions=shuffle_n)
+                if cfg.async_compact:
+                    _spawn_compaction(table, over, shuffle_n)
+                else:
+                    table.compact_buckets(over, shuffle_partitions=shuffle_n)
                 compacted = len(over)
                 _phase("compact")
 

@@ -17,7 +17,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, BatchMetrics, apply_batch
+from audience_behavior_semantic_etl_spark.cdc.apply import (
+    ApplyConfig,
+    BatchMetrics,
+    apply_batch,
+    join_pending_compaction,
+)
 from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
 from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
@@ -74,4 +79,10 @@ def run_wal_stream(
     finally:
         if q.isActive:
             q.stop()
+        # fold any still-running background compaction into the final
+        # state (and surface its failure) before declaring the run done
+        try:
+            join_pending_compaction(table)
+        except Exception as e:
+            run.error = run.error or e
     return run

@@ -339,6 +339,31 @@ class SnapshotTable:
         shutil.rmtree(staged_dir, ignore_errors=True)
         return out
 
+    def _with_commit_lock(self, fn, timeout: float = 120.0):
+        """Serialize the commit critical section across THREADS AND
+        PROCESSES with an O_EXCL lockfile — the local-FS analog of the
+        catalog's atomic compare-and-swap that Iceberg commits ride.
+        Everything expensive (staging writes, file adoption moves) stays
+        OUTSIDE the lock; only read-manifest → mutate → write-pointer is
+        inside, so the lock is held for milliseconds."""
+        import time as _time
+
+        lock = os.path.join(self.root, "_commit.lock")
+        t0 = _time.time()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if _time.time() - t0 > timeout:
+                    raise TimeoutError(f"commit lock {lock} held > {timeout}s")
+                _time.sleep(0.02)
+        try:
+            return fn()
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
     def commit_append_deltas(
         self,
         staged_dir: str | None,
@@ -351,15 +376,18 @@ class SnapshotTable:
         """Merge-on-read apply commit: APPEND the staged files to each
         affected bucket's file list (no rewrite of existing data), then
         commit one new snapshot carrying the batch id + offset
-        watermarks. Returns the new snapshot id."""
-        m = self.manifest()
-        snapshot = uuid.uuid4().hex
-        adopted = self._adopt_staged(staged_dir, affected_buckets, snapshot)
-        new_buckets = dict(m.buckets)
-        for b, rels in adopted.items():
-            new_buckets[b] = list(new_buckets.get(b, [])) + rels
-        m.buckets = new_buckets
-        return self._commit(m, snapshot, app_id, batch_id, watermarks, lineage_row)
+        watermarks. Returns the new snapshot id. An append commutes
+        with any concurrent commit (it only adds files), so under the
+        optimistic protocol it is re-applied verbatim to the fresh
+        manifest inside the lock."""
+        adoption = uuid.uuid4().hex
+        adopted = self._adopt_staged(staged_dir, affected_buckets, adoption)
+
+        def mutate(m: Manifest) -> None:
+            for b, rels in adopted.items():
+                m.buckets[b] = list(m.buckets.get(b, [])) + rels
+
+        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
 
     def commit_merged_buckets(
         self,
@@ -369,39 +397,62 @@ class SnapshotTable:
         batch_id: int,
         watermarks: dict[str, int],
         lineage_row: dict[str, Any],
+        base_buckets: dict[str, list[str]] | None = None,
     ) -> str:
-        """Compaction-style commit: SWAP the file lists of
-        ``affected_buckets`` for the staged files. Returns the new
-        snapshot id."""
-        m = self.manifest()
-        snapshot = uuid.uuid4().hex
-        adopted = self._adopt_staged(staged_dir, affected_buckets, snapshot)
-        new_buckets = dict(m.buckets)
-        for b, rels in adopted.items():
-            new_buckets[b] = rels  # empty list = bucket emptied
-        m.buckets = new_buckets
-        return self._commit(m, snapshot, app_id, batch_id, watermarks, lineage_row)
+        """Compaction-style commit: REPLACE each affected bucket's file
+        list with the staged (resolved) files. Returns the snapshot id.
+
+        Concurrency (the Iceberg rewrite-vs-append conflict rule):
+        ``base_buckets`` is the file set the compaction READ. Inside the
+        commit lock, any file appended to the bucket since that base —
+        by an apply that committed while compaction ran — is RETAINED on
+        top of the staged files; a blind swap would silently drop those
+        rows. Read-side LWW makes the union correct (newer deltas simply
+        win the merge window again)."""
+        adoption = uuid.uuid4().hex
+        adopted = self._adopt_staged(staged_dir, affected_buckets, adoption)
+        base = base_buckets or {}
+
+        def mutate(m: Manifest) -> None:
+            for b, rels in adopted.items():
+                known = set(base.get(b, m.buckets.get(b, [])))
+                appended_since = [f for f in m.buckets.get(b, []) if f not in known]
+                m.buckets[b] = rels + appended_since
+
+        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
 
     def _commit(
         self,
-        m: Manifest,
-        snapshot: str,
+        mutate,
         app_id: str,
         batch_id: int,
         watermarks: dict[str, int],
         lineage_row: dict[str, Any],
     ) -> str:
-        m.parent = m.version
-        m.version += 1
-        old_snapshot = m.snapshot_id
-        m.snapshot_id = snapshot
-        wm = m.properties.setdefault("watermarks", {})
-        for part, lsn in watermarks.items():
-            wm[str(part)] = max(int(lsn), int(wm.get(str(part), -1)))
-        m.properties.setdefault("committed_batches", {})[app_id] = batch_id
-        m.lineage.append({**lineage_row, "snapshot_id": snapshot, "parent_snapshot": old_snapshot})
-        self._write_manifest(m)
-        return snapshot
+        """Optimistic snapshot commit: the manifest is re-read FRESH
+        inside the commit lock and the caller's mutation re-applied to
+        it, so concurrent committers (apply vs async compaction) never
+        clobber each other's versions."""
+        snapshot = uuid.uuid4().hex
+
+        def run() -> str:
+            m = self.manifest()
+            mutate(m)
+            m.parent = m.version
+            m.version += 1
+            old_snapshot = m.snapshot_id
+            m.snapshot_id = snapshot
+            wm = m.properties.setdefault("watermarks", {})
+            for part, lsn in watermarks.items():
+                wm[str(part)] = max(int(lsn), int(wm.get(str(part), -1)))
+            m.properties.setdefault("committed_batches", {})[app_id] = batch_id
+            m.lineage.append(
+                {**lineage_row, "snapshot_id": snapshot, "parent_snapshot": old_snapshot}
+            )
+            self._write_manifest(m)
+            return snapshot
+
+        return self._with_commit_lock(run)
 
     # ------------------------------------------------------------ maintenance
 
@@ -448,6 +499,10 @@ class SnapshotTable:
         if not buckets:
             return None
         m = self.manifest()
+        # base file set AS READ — commit_merged_buckets retains any file
+        # appended to these buckets by a commit that lands while this
+        # compaction is running (rewrite-vs-append conflict rule)
+        base = {str(b): list(m.buckets.get(str(b), [])) for b in buckets}
         resolved = self.read(buckets=buckets, with_deleted=True)
         if purge_tombstones_below_lsn is not None:
             resolved = resolved.filter(
@@ -481,6 +536,7 @@ class SnapshotTable:
                 "buckets": len(buckets),
                 "purge_below_lsn": purge_tombstones_below_lsn,
             },
+            base_buckets=base,
         )
 
     def purge_tombstones(self, below_lsn: int, shuffle_partitions: int | None = None) -> str | None:

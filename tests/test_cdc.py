@@ -395,6 +395,62 @@ def test_gc_orphans_spares_fresh_staging_dirs(spark, tmp_path):
     assert not os.path.isdir(stale), "crashed (old) staging dir is reclaimed"
 
 
+def test_compaction_append_conflict_keeps_concurrent_rows(spark, tmp_path):
+    """Rewrite-vs-append: a batch committed WHILE a compaction runs must
+    survive the compaction's bucket swap. Simulated deterministically:
+    capture the compaction's base file set, land an append after it,
+    then commit the merged buckets against the stale base."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=1)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "A")])), table, 0)
+    apply_batch(_envelope_df(spark, _mk_events([(2, "update", "B")])), table, 1)
+
+    # compaction reads its input + base NOW (as compact_buckets does)
+    m = table.manifest()
+    base = {"0": list(m.buckets["0"])}
+    resolved = table.read(buckets=[0], with_deleted=True)
+    staged = table.new_staging_dir()
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from audience_behavior_semantic_etl_spark.cdc.table import bucket_expr
+
+    (
+        resolved.withColumn("__bucket", bucket_expr(F.col("conv_id"), 1))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(staged)
+    )
+    # a concurrent apply lands while the "compaction" is writing
+    apply_batch(_envelope_df(spark, _mk_events([(3, "update", "C")])), table, 2)
+
+    table.commit_merged_buckets(
+        staged_dir=staged, affected_buckets=[0], app_id="__maintenance__",
+        batch_id=0, watermarks={}, lineage_row={"op": "compact"}, base_buckets=base,
+    )
+    got = table.read_final().toPandas()
+    assert list(got["text"]) == ["C"], "concurrent append lost by compaction swap"
+    # blind swap (no base) would have produced 'B' — guard the guard:
+    assert table.read_raw(buckets=[0]).count() >= 2
+
+
+def test_async_compaction_overlaps_and_converges(spark, small_log, tmp_path):
+    """End-to-end stream with background compaction enabled (default):
+    final state equals the oracle and the stream joins the in-flight
+    compaction before finishing."""
+    log, oracle = small_log
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=6)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    run = run_wal_stream(
+        spark, wal, table, str(tmp_path / "ckpt"),
+        ApplyConfig(compact_max_files=1, async_compact=True),
+        max_files_per_trigger=2,
+    )
+    assert run.error is None
+    assert any(m.compacted_buckets > 0 for m in run.metrics)
+    from audience_behavior_semantic_etl_spark.cdc.apply import _COMPACTIONS
+
+    assert table.root not in _COMPACTIONS, "compaction left dangling after stream"
+    check_equal(table_to_pandas(table), oracle)
+
+
 def test_read_key_point_lookup_prunes_to_one_bucket(spark, small_log, tmp_path):
     """read_key resolves one conversation touching only its bucket's
     files — O(bucket), not O(table)."""
