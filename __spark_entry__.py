@@ -452,6 +452,75 @@ def q_cdc_lww_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the REAL engine end-to-end
+    (cdc/incremental.py): events become a WAL (conv_id=user_id,
+    turn_idx=event_id%7, 'error'=delete, text=event_type) applied in
+    TWO batches to a real SnapshotTable; a per-conversation cube
+    (n_turns / n_clicks / max_text) is materialized after batch one and
+    refreshed after batch two by consuming ONLY the changelog
+    (read_changes -> changed-group recompute -> affected-bucket
+    partition swap). Oracle: the from-scratch SQL aggregate over the
+    LWW-resolved log — incremental must equal recompute exactly."""
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.incremental import IncrementalView
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("{}"))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.col("event_type").alias("text"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+                )
+            )
+        )
+        .alias("payload"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("source_part"),
+    )
+
+    def cube(df: DataFrame) -> DataFrame:
+        return df.groupBy("conv_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+            F.sum(F.when(F.col("text") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicks"),
+            F.max("text").alias("max_text"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="ivm-cube-")
+    try:
+        # compaction disabled: a file-rewrite between refreshes would
+        # legitimately force the full-refresh fallback, and this row is
+        # specifically the INCREMENTAL path's correctness proof
+        cfg = ApplyConfig(app_id="ivm-cube", auto_compact=False)
+        table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+        view = IncrementalView(table, f"{tmp}/v", cube)
+        apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg)
+        assert view.refresh()["mode"] == "full"
+        apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), table, 1, cfg)
+        assert view.refresh()["mode"] == "incremental"
+        out = view.read()
+        schema = out.schema
+        pdf = out.toPandas()  # bounded: one row per conversation
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 # ------------------------------------------------- wider relational coverage
 
 
@@ -1013,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rename_nested": q_rename_nested,
         # CDC merge semantics (north_star kernel over oracle-visible data)
         "q_cdc_lww_apply": q_cdc_lww_apply,
+        "q_cdc_incremental_cube": q_cdc_incremental_cube,
         # training-data pipeline ops
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -1353,6 +1423,25 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND op <> 'delete'
+        """,
+        "q_cdc_incremental_cube": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events),
+            latest AS (
+              SELECT conv_id, turn_idx,
+                     arg_max(is_del, lsn) AS is_del,
+                     arg_max(text, lsn) AS text
+              FROM ev GROUP BY conv_id, turn_idx)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN text = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                   max(text) AS max_text
+            FROM latest WHERE is_del = 0 GROUP BY conv_id
         """,
         "q_text_profile": f"""
             WITH {_TOK_CTE},
