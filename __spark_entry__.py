@@ -381,6 +381,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(qs, emb, "embedding", "vec_id", k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe ANN (operators.similarity.ivf_topk): corpus
+    partitioned into cells by a deterministic coarse quantizer, each
+    query exact-ranks only its nprobe=2 nearest cells — the FAISS
+    IVFFlat shape on DataFrames. iters=0 keeps the quantizer
+    oracle-portable (seed centroids = smallest ids); the distributed
+    Lloyd refinement path is pytest-verified against numpy instead
+    (tests/test_similarity_ivf.py)."""
+    from audience_behavior_semantic_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(qs, emb, "embedding", "vec_id", n_cells=8, nprobe=2, k=5)
+
+
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed near-dedup SCALE path (operators.dedup.near_dedup_pairs):
     MinHash+LSH candidates -> exact Jaccard verified on candidates ONLY
@@ -1099,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_enrich_geoip": q_enrich_geoip,
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_as_of_join": q_as_of_join,
         "q_goal_attribution": q_goal_attribution,
         "q_json_ingest": q_json_ingest,
@@ -1171,6 +1187,46 @@ def _lsh_ann_sql(dim: int, n_planes: int, k: int) -> str:
                  round(list_dot_product(q.v, c.v)
                        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
           FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _ivf_ann_sql(n_cells: int, nprobe: int, k: int, max_query_id: int) -> str:
+    """DuckDB reproduction of operators.similarity.ivf_topk at iters=0:
+    identical seed centroids (smallest ids), identical round-6 cosine
+    and smaller-cell tie-breaks in both the assignment and the probe."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell_id, v AS cv
+          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_cells})),
+        assign AS (
+          SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, cent.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos.format(a='e.v', b='cent.cv')} DESC, cent.cell_id) AS rn
+            FROM e CROSS JOIN cent)
+          WHERE rn = 1),
+        probe AS (
+          SELECT query_id, qv, cell_id FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, cent.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos.format(a='e.v', b='cent.cv')} DESC, cent.cell_id) AS pr
+            FROM e CROSS JOIN cent WHERE e.vec_id < {max_query_id})
+          WHERE pr <= {nprobe}),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {cos.format(a='p.qv', b='a.v')} AS cos
+          FROM probe p JOIN assign a
+            ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id)
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -1633,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         # bit p = 1 iff dot(v, plane_p) >= 0 (double accumulation in
         # array order on both engines)
         "q_ann_lsh_topk": _lsh_ann_sql(dim=64, n_planes=6, k=5),
+        "q_ann_ivf_topk": _ivf_ann_sql(n_cells=8, nprobe=2, k=5, max_query_id=20),
         # native session_window: oracle recomputes sessions via lag+cumsum;
         # Spark's session end = last event ts + gap
         "q_session_window_native": """

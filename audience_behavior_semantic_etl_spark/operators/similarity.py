@@ -11,6 +11,15 @@
   (deterministic md5-derived hyperplanes), candidates = same-bucket
   pairs, exact cosine re-rank within buckets. Recall < 1 by design;
   at 100 TB this is the difference between a day and a minute.
+- ``ivf_fit`` / ``ivf_assign`` / ``ivf_topk``: the other classic ANN
+  index (IVF cell-probe, as in FAISS IVFFlat): a small centroid table
+  partitions the corpus into cells; queries probe only their
+  ``nprobe`` nearest cells. Centroids seed deterministically (vectors
+  of the smallest ids — oracle-reproducible) and can be refined with
+  distributed Lloyd iterations (``iters > 0``): assignment is a
+  broadcast join + one partial-aggregation ``max_by``, the centroid
+  update a posexplode + per-(cell,component) average — both
+  shuffle-light and executor-count-scalable.
 """
 
 from __future__ import annotations
@@ -115,6 +124,141 @@ def lsh_topk(
     )
     scored = (
         q.join(c, "bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    iters: int = 0,
+) -> DataFrame:
+    """Coarse quantizer for IVF: a small (cell_id, centroid) table.
+
+    Seeds are the vectors of the ``n_cells`` smallest ids — fully
+    deterministic, so the SQL oracle reproduces cell assignment
+    bit-for-bit at ``iters=0``. ``iters > 0`` refines with distributed
+    Lloyd steps (k-means): assign via broadcast-join ``max_by`` (one
+    partial agg, no wide shuffle), update as posexplode →
+    per-(cell, component) average → array re-assembly. A cell that
+    loses all members keeps its previous centroid. The result is
+    always ≤ n_cells rows — broadcast it everywhere."""
+    centroids = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("__seed_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+        .withColumn(
+            "cell_id",
+            (F.row_number().over(Window.orderBy(F.col("__seed_id"))) - 1).cast("int"),
+        )
+        .select("cell_id", "centroid")
+    )
+    for _i in range(iters):
+        assigned = ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            ),
+            centroids,
+            "__v",
+            "__id",
+        )
+        new = (
+            assigned.select("cell_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+        empty = centroids.join(new, "cell_id", "left_anti")
+        centroids = new.unionByName(empty)
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Assign each row to its nearest (max-cosine) cell. Broadcast the
+    centroid table; the winner comes out of ONE partial-aggregation
+    ``max_by`` keyed on the row id — the n×k score rows never shuffle.
+    Ties (rounded cosine) break toward the smaller cell_id."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+    carry = [c for c in df.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry],  # functionally dependent on id
+        F.max_by(
+            "cell_id", F.struct(F.col("__cos").alias("c"), (-F.col("cell_id")).alias("n"))
+        ).alias("cell_id"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    iters: int = 0,
+) -> DataFrame:
+    """IVF cell-probe ANN: corpus rows live in their nearest cell;
+    each query scans only its ``nprobe`` closest cells and exact-ranks
+    within them. Same output schema as brute_force_topk; recall is
+    governed by nprobe/n_cells. At scale the assigned corpus is
+    materialized ONCE (the inverted file) and the probe is an equi-join
+    on cell_id — the corpus shuffles by cell a single time, queries
+    broadcast."""
+    centroids = ivf_fit(corpus, vec_col, id_col, n_cells, iters=iters)
+    c = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        ),
+        centroids,
+        "cv",
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
