@@ -228,3 +228,58 @@ def test_stateful_running_counts(spark, tmp_path):
         log[log["op"] != "schema_change"].groupby("conv_id").size().to_dict()
     )
     assert got == expect
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """First occurrence per key is emitted; duplicates within the
+    horizon are dropped; a re-delivery whose ORIGINAL event time is
+    already below the watermark is dropped as late data (the streaming
+    analog of the table's tombstone re-delivery rule)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from audience_behavior_semantic_etl_spark.streaming.dedup import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        df = spark.createDataFrame(pdf)
+        d = str(tmp_path / ("stage-" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        dst = str(src / f"{name}.parquet")
+        os.rename(os.path.join(d, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    # batch 1: ten keys, each duplicated in-batch
+    rows1 = [(f"k{i}", t0, 1) for i in range(10)] + [(f"k{i}", t0, 2) for i in range(10)]
+    write("a", rows1, now + 1)
+    # batch 2: cross-batch duplicates within the horizon + a watermark
+    # advancer 3h later (new key)
+    rows2 = [(f"k{i}", t0, 3) for i in range(5)] + [("adv", t0 + pd.Timedelta(hours=3), 1)]
+    write("b", rows2, now + 2)
+    # batch 3: re-delivery of k0 with its ORIGINAL ts — the watermark is
+    # now ~2h past it, so it is late data, not a fresh emission
+    write("c", [("k0", t0, 9)], now + 3)
+
+    progress: list = []
+    got = streaming_dedup(
+        spark, str(src), ["k"], ts_col="ts", delay="1 hour", progress=progress
+    ).toPandas()
+    assert sorted(got["k"]) == sorted([f"k{i}" for i in range(10)] + ["adv"])
+    # every emitted row is the FIRST version of its key
+    assert set(got["v"]) == {1}
+    # state was actually evicted as the watermark advanced
+    evicted = sum(
+        so.get("numRowsRemoved", 0)
+        for p in progress
+        for so in p.get("stateOperators", [])
+    )
+    assert evicted > 0, "watermark must evict dedup state"
