@@ -520,8 +520,10 @@ def q_cdc_incremental_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # compaction disabled: a file-rewrite between refreshes would
         # legitimately force the full-refresh fallback, and this row is
-        # specifically the INCREMENTAL path's correctness proof
-        cfg = ApplyConfig(app_id="ivm-cube", auto_compact=False)
+        # specifically the INCREMENTAL path's correctness proof.
+        # shuffle_partitions pinned low: the contract corpus is 10^4-10^5
+        # rows, where per-task overhead dominates a 32-way shuffle
+        cfg = ApplyConfig(app_id="ivm-cube", auto_compact=False, shuffle_partitions=8)
         table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
         view = IncrementalView(table, f"{tmp}/v", cube)
         apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg)
