@@ -451,9 +451,13 @@ def apply_batch(
             for r in (
                 events_raw.filter(F.col("op") == "schema_change").select("payload").collect()
             ):
-                add = json.loads(r["payload"]).get("add_columns", {})
+                ddl = json.loads(r["payload"])
+                add = ddl.get("add_columns", {})
                 if add:
                     table.add_columns(add)
+                widen = ddl.get("widen_columns", {})
+                if widen:
+                    table.widen_columns(widen)
 
         affected = [int(r["__b"]) for r in census]
         hot = [c for r in census for c in r["hot"]]

@@ -59,6 +59,7 @@ _SQL_TYPE = {
     "string": T.StringType(),
     "int": T.IntegerType(),
     "long": T.LongType(),
+    "float": T.FloatType(),
     "double": T.DoubleType(),
     "timestamp_ntz": T.TimestampNTZType(),
     "boolean": T.BooleanType(),

@@ -181,6 +181,46 @@ class SnapshotTable:
         m.snapshot_id = uuid.uuid4().hex
         self._write_manifest(m)
 
+    # physically safe type promotions: the parquet scan upcasts these
+    # natively (int32 pages read under a bigint read schema, float under
+    # double — probed on this Spark build, pinned by
+    # test_widen_columns_* in tests/test_cdc.py), so widening is a
+    # METADATA-ONLY commit and existing delta files never rewrite —
+    # Iceberg's type-promotion evolution rule.
+    SAFE_WIDENINGS = {("int", "long"), ("float", "double")}
+
+    def widen_columns(self, changes: dict[str, str]) -> None:
+        """WIDEN COLUMN type(s), e.g. ``{"tool_latency_ms": "long"}``
+        on an int column. Refuses anything but the safe promotions
+        above — a lossy or non-upcastable change would corrupt reads of
+        files already on disk."""
+        m = self.manifest()
+        names = {n for n, _ in m.columns}
+        unknown = set(changes) - names
+        if unknown:
+            raise ValueError(f"widen_columns: no such column(s) {sorted(unknown)}")
+        out: list[tuple[str, str]] = []
+        changed = False
+        for n, t in m.columns:
+            want = changes.get(n)
+            if want is None or want == t:
+                out.append((n, t))
+                continue
+            if (t, want) not in self.SAFE_WIDENINGS:
+                raise ValueError(
+                    f"widen_columns: unsafe promotion {n}: {t} -> {want}; "
+                    f"allowed: {sorted(self.SAFE_WIDENINGS)}"
+                )
+            out.append((n, want))
+            changed = True
+        if not changed:
+            return
+        m.columns = out
+        m.parent = m.version
+        m.version += 1
+        m.snapshot_id = uuid.uuid4().hex
+        self._write_manifest(m)
+
     # ------------------------------------------------------------ read
 
     def read_raw(

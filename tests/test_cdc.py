@@ -525,3 +525,59 @@ def test_two_apps_track_exactly_once_independently(spark, tmp_path):
     m2 = apply_batch(_envelope_df(spark, _mk_events([(3, "update", "C")])), table, 0, live)
     assert m2.skipped, "live's batch 0 already committed"
     assert list(table.read_final().toPandas()["text"]) == ["B"]
+
+
+def test_widen_columns_upcasts_existing_files(spark, tmp_path):
+    """int -> long widening is metadata-only: delta files written as
+    int32 before the DDL are read back under the widened schema (native
+    parquet upcast), and post-DDL rows exceed the int32 range."""
+    from audience_behavior_semantic_etl_spark.cdc.schema import TRANSCRIPTS_V1_FIELDS
+
+    from pyspark.sql import types as T
+
+    cols = TRANSCRIPTS_V1_FIELDS + [("latency", T.IntegerType())]
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), columns=cols, n_buckets=2)
+
+    def ev(lsn, op, payload, conv="conv-w"):
+        return {
+            "lsn": lsn,
+            "ts": pd.Timestamp("2025-01-01"),
+            "op": op,
+            "conv_id": None if op == "schema_change" else conv,
+            "turn_idx": None if op == "schema_change" else lsn,
+            "payload": payload,
+            "schema_ver": 1,
+            "source_part": 0,
+        }
+
+    b0 = pd.DataFrame([ev(1, "insert", json.dumps({"role": "user", "text": "a", "latency": 7}))])
+    apply_batch(_envelope_df(spark, b0), table, 0)
+    assert dict(table.manifest().columns)["latency"] == "int"
+
+    big = 2**40
+    b1 = pd.DataFrame(
+        [
+            ev(2, "schema_change", json.dumps({"widen_columns": {"latency": "long"}})),
+            ev(3, "insert", json.dumps({"role": "user", "text": "b", "latency": big})),
+        ]
+    )
+    apply_batch(_envelope_df(spark, b1), table, 1)
+    assert dict(table.manifest().columns)["latency"] == "long"
+    got = table.read_final().orderBy("turn_idx").toPandas()
+    assert list(got["latency"]) == [7, big]
+    assert str(table.read_final().schema["latency"].dataType) == "LongType()"
+
+
+def test_widen_columns_rejects_unsafe(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from audience_behavior_semantic_etl_spark.cdc.schema import TRANSCRIPTS_V1_FIELDS
+
+    cols = TRANSCRIPTS_V1_FIELDS + [("latency", T.LongType())]
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), columns=cols, n_buckets=2)
+    with pytest.raises(ValueError, match="unsafe promotion"):
+        table.widen_columns({"latency": "int"})  # narrowing
+    with pytest.raises(ValueError, match="unsafe promotion"):
+        table.widen_columns({"text": "long"})
+    with pytest.raises(ValueError, match="no such column"):
+        table.widen_columns({"nope": "long"})
