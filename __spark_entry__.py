@@ -1067,6 +1067,125 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_window_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark, streaming/dedup.py)
+    drained with availableNow over a multi-file arrival order: the first
+    arrival per (user_id, event_type) is emitted, re-deliveries across
+    micro-batches are dropped while key state lives. The horizon here
+    covers the corpus' whole event-time span, so no state evicts and the
+    finished result is EXACTLY the distinct key set — the oracle.
+    (Bounded-state eviction under a short horizon is asserted separately
+    in tests/test_streaming_and_metrics.py.) Output is projected to the
+    key columns: which duplicate's payload wins within one micro-batch
+    is engine-arbitrary, the key set is not."""
+    import os
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.streaming.dedup import streaming_dedup
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    srcd = tempfile.mkdtemp(prefix="stream-dedup-src-")
+    ev.repartition(4).write.mode("overwrite").parquet(srcd)
+    # stamp increasing mtimes: the file source orders arrivals by mtime
+    parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
+    base = max(os.path.getmtime(os.path.join(srcd, p)) for p in parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(srcd, p), (base + i, base + i))
+    out = streaming_dedup(
+        spark, srcd, ["user_id", "event_type"],
+        ts_col="ts", delay="3650 days", files_per_trigger=2,
+    )
+    return out.select("user_id", "event_type")
+
+
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel over the REAL engine: the events
+    change log is applied in TWO batches to a SnapshotTable; after both
+    commits, ``read_final(version=v1)`` must reproduce EXACTLY the LWW
+    state as of the first commit — batch two's upserts, deletes, and
+    delta files are invisible to the pinned snapshot. Oracle: LWW SQL
+    over the batch-one subset of the log."""
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("{}"))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.col("event_type").alias("text"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+                )
+            )
+        )
+        .alias("payload"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("source_part"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-tt-")
+    try:
+        cfg = ApplyConfig(app_id="cdc-tt", auto_compact=False, shuffle_partitions=8)
+        table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+        apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg)
+        v1 = table.manifest().version
+        apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), table, 1, cfg)
+        assert table.manifest().version > v1
+        out = table.read_final(version=v1).select("conv_id", "turn_idx", "text")
+        schema = out.schema
+        pdf = out.toPandas()  # bounded: one row per live (conv, turn)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pipeline, end to end:
+    documents -> quality/length gate (map-only Column algebra, pushed to
+    the scan) -> near-duplicate removal on the SURVIVOR rule
+    (MinHash+LSH candidates + exact Jaccard on candidates only,
+    keep-smallest-id — operators.dedup.near_dedup) -> per-language
+    corpus stats. The oracle recomposes every stage over the same gated
+    subset, so the gate/dedup/lang interactions are part of the checked
+    contract, not just each stage alone."""
+    from audience_behavior_semantic_etl_spark.operators.dedup import near_dedup
+    from audience_behavior_semantic_etl_spark.operators.text import (
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gated = (
+        docs.withColumn("q", quality_score("text"))
+        .withColumn("n_tokens", token_count("text"))
+        .filter((F.col("q") >= 0.5) & (F.col("n_tokens") >= 5))
+    )
+    kept = near_dedup(gated, "text", "doc_id", k=3, n_bands=4, rows_per_band=2, threshold=0.1)
+    return (
+        kept.withColumn("lang_pred", lang_id("text"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            # decimal accumulation: order-independent sum (see q_pricing_summary)
+            F.round(F.sum(F.col("q").cast("decimal(20,6)")).cast("double"), 2).alias(
+                "sum_quality"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference operator inventory (SURVEY.md §2)
@@ -1123,6 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_flags": q_session_flags,
         "q_session_window_native": q_session_window_native,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
+        "q_stream_dedup": q_stream_dedup,
+        "q_cdc_time_travel": q_cdc_time_travel,
+        "q_corpus_curation": q_corpus_curation,
     }
 
 
@@ -1261,6 +1383,8 @@ def _emb_dups_sql(dim: int, n_planes: int, threshold: float, max_id: int) -> str
 
 
 def oracle_sql() -> dict[str, str]:
+    from audience_behavior_semantic_etl_spark.operators.text import STOPWORDS
+
     return {
         "q_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1789,5 +1913,92 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        # streaming dedup with a whole-span horizon: finished availableNow
+        # result == the exact distinct key set
+        "q_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # time travel: LWW state as of commit one == LWW over the
+        # batch-one subset of the log
+        "q_cdc_time_travel": """
+            SELECT conv_id, turn_idx, text
+            FROM (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                         event_type AS text,
+                         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                         row_number() OVER (PARTITION BY user_id, event_id % 7
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events WHERE event_id % 5 <> 0)
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # composed curation pipeline: quality/length gate -> near-dedup
+        # survivors (same band keys + candidate-only Jaccard as
+        # q_dedup_near, but over the GATED subset) -> per-language stats
+        "q_corpus_curation": f"""
+            WITH {_TOK_CTE},
+            m AS (
+              SELECT doc_id, text, toks,
+                     CAST(len(toks) AS INTEGER) AS n_tokens,
+                     round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 4) AS avg_word_len,
+                     round(CAST(len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / greatest(len(text), 1), 4) AS punct_ratio,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(STOPWORDS['en'])}, x))) AS s_en,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(STOPWORDS['de'])}, x))) AS s_de,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(STOPWORDS['es'])}, x))) AS s_es,
+                     len(list_filter(toks, x -> list_contains({_stopword_list_sql(STOPWORDS['fr'])}, x))) AS s_fr
+              FROM tok),
+            gated AS (
+              SELECT * FROM (
+                SELECT *, round(least(n_tokens / 100.0, 1.0) * 0.4
+                               + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                               + (CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10
+                                       THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS q
+                FROM m)
+              WHERE q >= 0.5 AND n_tokens >= 5),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks)-1),
+                                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+                     ELSE [] END AS sh
+              FROM gated),
+            sig AS ({_minhash_sql(8)}),
+            banded AS (
+              SELECT doc_id, unnest([
+                  '0|' || m0 || '|' || m1,
+                  '1|' || m2 || '|' || m3,
+                  '2|' || m4 || '|' || m5,
+                  '3|' || m6 || '|' || m7]) AS bk
+              FROM sig),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+                         AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b),
+            dropped AS (SELECT DISTINCT id_b FROM v WHERE jaccard >= 0.1),
+            kept AS (
+              SELECT * FROM gated WHERE doc_id NOT IN (SELECT id_b FROM dropped))
+            SELECT lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(CAST(q AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_quality
+            FROM (SELECT n_tokens, q,
+                         CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+                              WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+                              WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+                              WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
+                              ELSE 'und' END AS lang_pred
+                  FROM kept)
+            GROUP BY lang_pred
         """,
     }
