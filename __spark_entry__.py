@@ -1186,6 +1186,78 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (operators.curation
+    .contamination_stats): docs with doc_id % 20 == 0 play the held-out
+    benchmark; every other document is scored by the fraction of its
+    distinct 3-shingles that appear anywhere in the benchmark. Scale
+    shape: benchmark shingle set broadcast, corpus map-only, ONE
+    aggregation shuffle on doc_id — the corpus is never self-joined.
+    The oracle recomputes the identical portable shingles on both
+    sides."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        contamination_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    return contamination_stats(corpus, bench, "text", "doc_id").filter(
+        F.col("n_contaminated") > 0
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators.curation.pack_sequences):
+    concatenate-then-split documents into 64-token training sequences
+    across 8 independent packing groups; output is the (doc, sequence,
+    token-span) assignment table. One shuffle on the group key, cumsum
+    window per group — no global sort."""
+    from audience_behavior_semantic_etl_spark.operators.curation import pack_sequences
+    from audience_behavior_semantic_etl_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", budget=64, n_groups=8)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language (operators
+    .curation.stratified_sample): per-stratum keep rates decided by a
+    portable md5-uniform of (salt, stratum, id) — map-only, zero
+    shuffle, reproducible bit-for-bit by the SQL oracle (sampling is
+    part of the checked contract, not an unreplayable RNG)."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators.text.redact_pii): deterministic PII
+    (email/IP/card/phone built from doc_id) is injected into each
+    document, then scrubbed by the shared Java-regex/RE2-portable
+    pattern chain — pure JVM regexp_replace projection, map-only."""
+    from audience_behavior_semantic_etl_spark.operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.1."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7 card 4111111111111111 tel +1 415 555 01"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(100)).cast("string"), 2, "0"),
+    )
+    return docs.select("doc_id", redact_pii(injected).alias("redacted"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference operator inventory (SURVEY.md §2)
@@ -1245,6 +1317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_dedup": q_stream_dedup,
         "q_cdc_time_travel": q_cdc_time_travel,
         "q_corpus_curation": q_corpus_curation,
+        # corpus curation beyond dedup (operators.curation / text)
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_stratified_sample": q_stratified_sample,
+        "q_redact_pii": q_redact_pii,
     }
 
 
@@ -1291,6 +1368,30 @@ def _minhash_sql(n_hashes: int) -> str:
 
 def _stopword_list_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# md5-derived 32-bit uniform (operators.curation.md5_unit_interval):
+# first 8 hex chars of md5({expr}) as an integer, via the same strpos
+# arithmetic the minhash oracle uses.
+def _md5_u32_sql(expr: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), "
+        f"i -> (strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1) * 16**(8 - i)"
+        ")) AS BIGINT)"
+    )
+
+
+def _redact_sql(inner: str) -> str:
+    """DuckDB regexp_replace chain built from the SAME PII_PATTERNS the
+    engine applies (operators.text.redact_pii) — pattern identity by
+    construction."""
+    from audience_behavior_semantic_etl_spark.operators.text import PII_PATTERNS
+
+    expr = inner
+    for pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr
 
 
 def _lsh_ann_sql(dim: int, n_planes: int, k: int) -> str:
@@ -2000,5 +2101,62 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 'und' END AS lang_pred
                   FROM kept)
             GROUP BY lang_pred
+        """,
+        # benchmark decontamination: identical portable shingles on both
+        # sides; benchmark = doc_id % 20 == 0
+        "q_decontaminate": f"""
+            WITH {_TOK_CTE}, {_SHINGLE_CTE},
+            bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0),
+            corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0 AND len(sh) > 0),
+            hits AS (
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+              FROM (SELECT doc_id, unnest(sh) AS s FROM corp) c
+              JOIN bench USING (s)
+              GROUP BY 1)
+            SELECT corp.doc_id, CAST(len(corp.sh) AS BIGINT) AS n_shingles,
+                   hits.n_contaminated,
+                   round(CAST(hits.n_contaminated AS DOUBLE) / len(corp.sh), 4)
+                       AS contamination
+            FROM corp JOIN hits ON corp.doc_id = hits.doc_id
+        """,
+        # sequence packing: same grp/cumsum/split arithmetic
+        "q_pack_sequences": f"""
+            WITH {_TOK_CTE},
+            tc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                          CAST(doc_id % 8 AS INTEGER) AS grp
+                   FROM tok WHERE len(toks) > 0),
+            o AS (SELECT doc_id, n_tok, grp,
+                         CAST(coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS pos
+                  FROM tc),
+            seg AS (SELECT doc_id, grp, n_tok, pos,
+                           unnest(range(pos // 64, (pos + n_tok - 1) // 64 + 1)) AS seq
+                    FROM o)
+            SELECT doc_id, grp, CAST(seq AS BIGINT) AS seq,
+                   CAST(greatest(seq * 64 - pos, 0) AS BIGINT) AS tok_begin,
+                   CAST(least((seq + 1) * 64 - pos, n_tok) AS BIGINT) AS tok_end
+            FROM seg
+        """,
+        # stratified sampling: identical md5-uniform keep rule
+        "q_stratified_sample": f"""
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     {_md5_u32_sql("'strat|' || lang || '|' || CAST(doc_id AS VARCHAR)")}
+                       / 4294967296.0 AS u
+              FROM documents)
+            WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                WHEN 'fr' THEN 0.1 ELSE 0.05 END
+        """,
+        # PII redaction: pattern chain generated from PII_PATTERNS
+        "q_redact_pii": f"""
+            SELECT doc_id,
+                   {_redact_sql(
+                       "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                       " || '@example.com ip 10.1.' || CAST(doc_id % 256 AS VARCHAR)"
+                       " || '.7 card 4111111111111111 tel +1 415 555 01'"
+                       " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+                   )} AS redacted
+            FROM documents
         """,
     }

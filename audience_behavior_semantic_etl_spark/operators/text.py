@@ -92,6 +92,31 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+# PII patterns, deliberately restricted to regex constructs shared by
+# Java regex and RE2 (character classes, bounded repeats, \b, \d) so
+# the DuckDB oracle applies the IDENTICAL patterns. Order matters:
+# emails before IPs (an email's domain may contain digits+dots), card
+# numbers before phones (a 16-digit run matches both).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{12,19}\b", "<NUM>"),
+    (r"\+?\d[\d() -]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub common PII shapes (emails, IPv4s, long card-like digit
+    runs, phone numbers) with typed placeholder tokens — the cheap
+    regex pass every training-data pipeline runs before tokenization.
+    Pure JVM-side regexp_replace chain: map-only, no UDF, no shuffle;
+    at 100 TB this fuses into the scan projection."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(text: Column | str) -> Column:
     """Exact-content fingerprint: md5 of the raw text (portable across
     engines). Near-dup fingerprints live in operators.dedup."""
