@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet codec for everything the engine writes (spool, delta
+        # files, compaction, cubes). zstd over the snappy default:
+        # same-session A/B on the apply write stage (13M-event batch,
+        # local[32], best-of-4 warm passes) measured zstd at or below
+        # snappy's write time with ~31% smaller files (519 vs 756 MB)
+        # — and smaller deltas are compounding for merge-on-read: the
+        # read-side LWW re-scans live deltas on every query, compaction
+        # re-reads them once more, and on a real cluster they cross the
+        # network. Overridable via extra_conf / spark-submit --conf.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
