@@ -117,6 +117,56 @@ def _payload_paths(name: str) -> list[tuple[str, ...]]:
     return paths
 
 
+def _payload_parse_plan(
+    out_schema: T.StructType,
+) -> tuple[list[T.StructField], dict[str, list[tuple[str, ...]]]]:
+    """Shared parse plan for the envelope payload: the from_json schema
+    fields (direct columns + nested flatten heads, WITHOUT the corrupt
+    column) and the per-output-column flatten paths. Factored out so
+    ``normalize_envelope`` and ``malformed_predicate`` parse with the
+    EXACT same record-strict schema — quarantine selection must agree
+    row-for-row with what normalize drops."""
+    key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL}
+    payload_fields = [f for f in out_schema.fields if f.name not in key_meta]
+    direct = {f.name for f in payload_fields}
+    nested: dict[str, dict[str, T.DataType]] = {}
+    specs: dict[str, list[tuple[str, ...]]] = {}
+    for f in payload_fields:
+        kept: list[tuple[str, ...]] = []
+        for p in _payload_paths(f.name):
+            if len(p) == 1:
+                kept.append(p)
+            else:
+                head, tail = p
+                if head in direct:
+                    continue
+                nested.setdefault(head, {})[tail] = f.dataType
+                kept.append(p)
+        specs[f.name] = kept
+    schema_fields = [T.StructField(f.name, f.dataType) for f in payload_fields] + [
+        T.StructField(h, T.StructType([T.StructField(n, t) for n, t in sub.items()]))
+        for h, sub in nested.items()
+    ]
+    return schema_fields, specs
+
+
+def malformed_predicate(out_schema: T.StructType):
+    """Boolean over ENVELOPE rows: true iff a non-delete data event's
+    payload fails the record-strict parse against the target schema —
+    the same PERMISSIVE+corrupt-column parse ``normalize_envelope``
+    applies in quarantine mode. Used to select the dead-letter rows."""
+    schema_fields, _ = _payload_parse_plan(out_schema)
+    ps = T.StructType(schema_fields + [T.StructField("_corrupt", T.StringType())])
+    parsed = F.from_json(
+        F.col("payload"), ps, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    )
+    return (
+        (F.col("op") != "delete")
+        & F.col("payload").isNotNull()
+        & parsed.getField("_corrupt").isNotNull()
+    )
+
+
 def normalize_envelope(
     data: DataFrame,
     out_schema: T.StructType,
@@ -150,27 +200,7 @@ def normalize_envelope(
     ``tool`` as an OBJECT while the table has scalar ``tool`` is not
     representable in one parse schema); such paths are skipped.
     """
-    key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL}
-    payload_fields = [f for f in out_schema.fields if f.name not in key_meta]
-    direct = {f.name for f in payload_fields}
-    nested: dict[str, dict[str, T.DataType]] = {}
-    specs: dict[str, list[tuple[str, ...]]] = {}
-    for f in payload_fields:
-        kept: list[tuple[str, ...]] = []
-        for p in _payload_paths(f.name):
-            if len(p) == 1:
-                kept.append(p)
-            else:
-                head, tail = p
-                if head in direct:
-                    continue
-                nested.setdefault(head, {})[tail] = f.dataType
-                kept.append(p)
-        specs[f.name] = kept
-    schema_fields = [T.StructField(f.name, f.dataType) for f in payload_fields] + [
-        T.StructField(h, T.StructType([T.StructField(n, t) for n, t in sub.items()]))
-        for h, sub in nested.items()
-    ]
+    schema_fields, specs = _payload_parse_plan(out_schema)
     if on_malformed == "fail":
         opts = {"mode": "FAILFAST"}
     else:
@@ -547,6 +577,21 @@ def apply_batch(
         except Exception:
             n_malformed = 0
         n_malformed += int(n_nullkey)  # quarantined null-key events
+        # -- dead-letter quarantine (rare path) ---------------------------
+        # "quarantine" without a sink would still be silent loss of the
+        # PAYLOADS. When (and only when) poison rows were detected, one
+        # extra job re-selects the original envelope rows — null-key data
+        # events plus record-strict parse failures, the exact set
+        # normalize dropped — and lands them under
+        # <root>/_quarantine/batch=<id>/ for inspection/replay. Written
+        # BEFORE the commit and with overwrite semantics, so a crash-and
+        # -redeliver rewrites it idempotently; the happy path pays
+        # nothing (the job only runs when the Observation saw poison).
+        if cfg.on_malformed == "quarantine" and n_malformed > 0:
+            quar = events_raw.filter(F.col("op") != "schema_change").filter(
+                F.col("conv_id").isNull() | malformed_predicate(out_schema)
+            )
+            quar.write.mode("overwrite").parquet(table.quarantine_dir(batch_id))
         _phase("write")
 
         snapshot = table.commit_append_deltas(

@@ -351,6 +351,27 @@ class SnapshotTable:
         committed = self.manifest().properties.get("committed_batches", {})
         return batch_id <= committed.get(app_id, -1)
 
+    def quarantine_dir(self, batch_id: int) -> str:
+        """Dead-letter location for batch ``batch_id``'s poison rows
+        (original envelope rows, replayable). Written by apply_batch in
+        quarantine mode; outside the data/manifest lifecycle, so GC and
+        compaction never touch it."""
+        return os.path.join(self.root, "_quarantine", f"batch={batch_id}")
+
+    def read_quarantine(self) -> DataFrame:
+        """All quarantined envelope rows across batches (empty frame
+        with the envelope schema when nothing was ever quarantined).
+        Re-applying a fixed subset is just ``apply_batch`` over this."""
+        base = os.path.join(self.root, "_quarantine")
+        dirs = (
+            [os.path.join(base, d) for d in sorted(os.listdir(base))]
+            if os.path.isdir(base)
+            else []
+        )
+        if not dirs:
+            return self.spark.createDataFrame([], S.ENVELOPE_SCHEMA)
+        return self.spark.read.schema(S.ENVELOPE_SCHEMA).parquet(*dirs)
+
     def new_staging_dir(self) -> str:
         """A staging directory UNDER the table root: adopted files move
         with a same-filesystem rename (atomic, no copy) regardless of

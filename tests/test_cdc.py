@@ -581,3 +581,38 @@ def test_widen_columns_rejects_unsafe(spark, tmp_path):
         table.widen_columns({"text": "long"})
     with pytest.raises(ValueError, match="no such column"):
         table.widen_columns({"nope": "long"})
+
+
+def test_quarantine_dead_letter_sink(spark, tmp_path):
+    """Quarantine mode must not lose the poison PAYLOADS: malformed and
+    null-key envelope rows land under _quarantine/batch=<id> as
+    original, replayable envelope rows; re-delivery of the batch is a
+    no-op that leaves the dead letters intact."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    pdf = _mk_events([(1, "insert", "GOOD"), (2, "insert", "BAD"), (3, "insert", "ORPHAN")])
+    pdf.loc[1, "payload"] = "{not json"
+    pdf.loc[1, "turn_idx"] = 1
+    pdf.loc[2, "conv_id"] = None
+    pdf.loc[2, "turn_idx"] = 2
+
+    m = apply_batch(
+        _envelope_df(spark, pdf), table, 0, ApplyConfig(on_malformed="quarantine")
+    )
+    assert m.malformed == 2
+    got = table.read_final().toPandas()
+    assert list(got["text"]) == ["GOOD"]
+
+    q = table.read_quarantine().toPandas()
+    assert sorted(q["lsn"]) == [2, 3], "exactly the two poison rows"
+    assert "{not json" in set(q["payload"]), "original payload preserved"
+
+    # exactly-once re-delivery: batch no-ops, dead letters untouched
+    m2 = apply_batch(
+        _envelope_df(spark, pdf), table, 0, ApplyConfig(on_malformed="quarantine")
+    )
+    assert m2.skipped
+    assert table.read_quarantine().count() == 2
+
+    # clean tables report an empty (schema-stable) quarantine
+    t2 = SnapshotTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
+    assert t2.read_quarantine().count() == 0

@@ -77,3 +77,33 @@ def test_pricing_summary_scan_is_pruned(spark):
     p = _plan(spark, "q_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in p, "date filter not pushed"
     assert "l_comment" not in p, "scan reads columns the query never uses"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (small) benchmark shingle set
+    and never self-join the corpus — the corpus side stays map-only up
+    to the per-doc count aggregation."""
+    p = _plan(spark, "q_decontaminate")
+    assert "BroadcastExchange" in p, "benchmark shingle set must broadcast"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_sequences_one_shuffle_no_global_sort(spark):
+    """Sequence packing shards into independent groups: exactly one
+    hash shuffle on the group key and NO single-partition/global-sort
+    operator anywhere."""
+    p = _plan(spark, "q_pack_sequences")
+    assert p.count("+- Exchange") == 1, "packing is one shuffle on grp"
+    assert "SinglePartition" not in p and "rangepartitioning" not in p
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Rate-based stratified sampling is a pure row-local decision —
+    zero shuffles; the filter fuses into the scan projection."""
+    p = _plan(spark, "q_stratified_sample")
+    assert "Exchange" not in p
+
+
+def test_redact_pii_is_map_only(spark):
+    p = _plan(spark, "q_redact_pii")
+    assert "Exchange" not in p
