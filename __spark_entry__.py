@@ -1258,6 +1258,44 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(injected).alias("redacted"))
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-shard pipeline end to end: language-
+    stratified sampling -> PII redaction (deterministic injected PII)
+    -> token-count gate -> sequence packing -> per-group shard stats.
+    Every stage is the library operator; the oracle recomposes the full
+    chain, so the sample/redact/tokenize/pack interactions are part of
+    the checked contract. Map-only until the single pack shuffle, then
+    one low-cardinality aggregation."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        pack_sequences,
+        stratified_sample,
+    )
+    from audience_behavior_semantic_etl_spark.operators.text import (
+        redact_pii,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sampled = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    )
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+    )
+    gated = sampled.select(
+        "doc_id", token_count(redact_pii(injected)).alias("n_tok")
+    ).filter(F.col("n_tok") >= 5)
+    packed = pack_sequences(gated, "doc_id", "n_tok", budget=128, n_groups=4)
+    return packed.groupBy("grp").agg(
+        F.countDistinct("seq").cast("bigint").alias("n_seqs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.col("tok_end") - F.col("tok_begin")).cast("bigint").alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # reference operator inventory (SURVEY.md §2)
@@ -1322,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
         "q_redact_pii": q_redact_pii,
+        "q_training_mix": q_training_mix,
     }
 
 
@@ -2158,5 +2197,46 @@ def oracle_sql() -> dict[str, str]:
                        " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
                    )} AS redacted
             FROM documents
+        """,
+        # composed training-shard pipeline: sample -> redact -> gate ->
+        # pack -> per-group stats, every stage recomputed
+        "q_training_mix": f"""
+            WITH samp AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, lang, text,
+                       {_md5_u32_sql("'strat|' || lang || '|' || CAST(doc_id AS VARCHAR)")}
+                         / 4294967296.0 AS u
+                FROM documents)
+              WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                  WHEN 'fr' THEN 0.1 ELSE 0.05 END),
+            red AS (
+              SELECT doc_id,
+                     {_redact_sql(
+                         "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+                         " || '@example.com'"
+                     )} AS rtext
+              FROM samp),
+            tokr AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(regexp_replace(lower(rtext),
+                         '[^a-z0-9 ]+', ' ', 'g'), ' +'), x -> x <> '') AS toks
+              FROM red),
+            tc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                          CAST(doc_id % 4 AS INTEGER) AS grp
+                   FROM tokr WHERE len(toks) >= 5),
+            o AS (SELECT doc_id, n_tok, grp,
+                         CAST(coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS pos
+                  FROM tc),
+            seg AS (SELECT doc_id, grp, n_tok, pos,
+                           unnest(range(pos // 128, (pos + n_tok - 1) // 128 + 1)) AS seq
+                    FROM o)
+            SELECT grp,
+                   CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(sum(least((seq + 1) * 128 - pos, n_tok)
+                            - greatest(seq * 128 - pos, 0)) AS BIGINT) AS n_tokens
+            FROM seg GROUP BY grp
         """,
     }
