@@ -1258,6 +1258,27 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(injected).alias("redacted"))
 
 
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 vocabulary breadth: rank / dense_rank / percent_rank /
+    cume_dist over a deliberately TIE-HEAVY ordering (floor(value)) —
+    with ties the four functions genuinely diverge and every output is
+    still deterministic (each depends only on the value multiset, not
+    the engine's tie order). One window shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.floor("value").cast("bigint").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("v").desc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 4).alias("prnk"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-shard pipeline end to end: language-
     stratified sampling -> PII redaction (deterministic injected PII)
@@ -1289,9 +1310,17 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(redact_pii(injected)).alias("n_tok")
     ).filter(F.col("n_tok") >= 5)
     packed = pack_sequences(gated, "doc_id", "n_tok", budget=128, n_groups=4)
+    # distinct-free shard stats: sequences are contiguous from 0 so
+    # n_seqs = max(seq)+1, and every doc has EXACTLY one segment with
+    # tok_begin = 0 so counting those counts docs. countDistinct here
+    # would plan an Expand + a second full-width shuffle; this form is
+    # a plain partial agg that REUSES the pack shuffle's grp
+    # partitioning — the whole pipeline is one exchange.
     return packed.groupBy("grp").agg(
-        F.countDistinct("seq").cast("bigint").alias("n_seqs"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        (F.max("seq") + 1).cast("bigint").alias("n_seqs"),
+        F.sum(F.when(F.col("tok_begin") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
         F.sum(F.col("tok_end") - F.col("tok_begin")).cast("bigint").alias("n_tokens"),
     )
 
@@ -1361,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_redact_pii": q_redact_pii,
         "q_training_mix": q_training_mix,
+        "q_window_rank_family": q_window_rank_family,
     }
 
 
@@ -2233,10 +2263,22 @@ def oracle_sql() -> dict[str, str]:
                            unnest(range(pos // 128, (pos + n_tok - 1) // 128 + 1)) AS seq
                     FROM o)
             SELECT grp,
-                   CAST(count(DISTINCT seq) AS BIGINT) AS n_seqs,
-                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+                   CAST(sum(CASE WHEN greatest(seq * 128 - pos, 0) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
                    CAST(sum(least((seq + 1) * 128 - pos, n_tok)
                             - greatest(seq * 128 - pos, 0)) AS BIGINT) AS n_tokens
             FROM seg GROUP BY grp
+        """,
+        # rank family under ties: outputs depend only on the value
+        # multiset, so they are deterministic on both engines
+        "q_window_rank_family": """
+            SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v,
+                   CAST(rank() OVER w AS INTEGER) AS rnk,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+                   round(percent_rank() OVER w, 4) AS prnk,
+                   round(cume_dist() OVER w, 4) AS cdist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(value) AS BIGINT) DESC)
         """,
     }

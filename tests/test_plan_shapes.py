@@ -107,3 +107,14 @@ def test_stratified_sample_is_map_only(spark):
 def test_redact_pii_is_map_only(spark):
     p = _plan(spark, "q_redact_pii")
     assert "Exchange" not in p
+
+
+def test_training_mix_is_one_shuffle(spark):
+    """The composed sample->redact->gate->pack->stats pipeline: the
+    final per-group agg must REUSE the pack shuffle's grp partitioning
+    (distinct-free aggregates), so exactly one hash exchange total."""
+    import re
+
+    p = _plan(spark, "q_training_mix")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Expand" not in p, "countDistinct-style expand leaked back in"
