@@ -1258,6 +1258,29 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(injected).alias("redacted"))
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing MATERIALIZED: the pack_sequences assignment
+    table joined back to the documents' token arrays, span-sliced and
+    concatenated in doc order into the actual training-sequence text
+    (operators.curation.materialize_sequences). Proves the span
+    arithmetic end to end — every emitted sequence is the exact token
+    stream a trainer would consume. One pack shuffle + one equi-join +
+    one (grp, seq) aggregation."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        materialize_sequences,
+        pack_sequences,
+    )
+    from audience_behavior_semantic_etl_spark.operators.text import tokens
+
+    docs_tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+    )
+    tc = docs_tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
+    segs = pack_sequences(tc, "doc_id", "n_tok", budget=64, n_groups=8)
+    return materialize_sequences(segs, docs_tok, "doc_id", 64)
+
+
 def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 vocabulary breadth: rank / dense_rank / percent_rank /
     cume_dist over a deliberately TIE-HEAVY ordering (floor(value)) —
@@ -1391,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_pii": q_redact_pii,
         "q_training_mix": q_training_mix,
         "q_window_rank_family": q_window_rank_family,
+        "q_pack_materialize": q_pack_materialize,
     }
 
 
@@ -2280,5 +2304,30 @@ def oracle_sql() -> dict[str, str]:
                    round(cume_dist() OVER w, 4) AS cdist
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(value) AS BIGINT) DESC)
+        """,
+        # materialized packing: identical span slices + doc-order concat
+        "q_pack_materialize": f"""
+            WITH {_TOK_CTE},
+            tc AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+                          CAST(doc_id % 8 AS INTEGER) AS grp
+                   FROM tok WHERE len(toks) > 0),
+            o AS (SELECT doc_id, toks, n_tok, grp,
+                         CAST(coalesce(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS BIGINT) AS pos
+                  FROM tc),
+            seg AS (SELECT doc_id, toks, n_tok, pos, grp,
+                           unnest(range(pos // 64, (pos + n_tok - 1) // 64 + 1)) AS seq
+                    FROM o),
+            piece AS (
+              SELECT grp, CAST(seq AS BIGINT) AS seq, doc_id,
+                     list_slice(toks,
+                                CAST(greatest(seq * 64 - pos, 0) + 1 AS BIGINT),
+                                CAST(least((seq + 1) * 64 - pos, n_tok) AS BIGINT)) AS p
+              FROM seg)
+            SELECT grp, seq,
+                   string_agg(array_to_string(p, ' '), ' ' ORDER BY doc_id) AS seq_text,
+                   CAST(sum(len(p)) AS BIGINT) AS n_tokens
+            FROM piece GROUP BY grp, seq
         """,
     }

@@ -169,6 +169,51 @@ def pack_sequences(
     )
 
 
+def materialize_sequences(
+    segs: DataFrame,
+    docs_tokens: DataFrame,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Turn a pack_sequences assignment table into actual training
+    sequences: join each (doc, span) segment back to the document's
+    token array, slice the span, and concatenate segments in document
+    order per (grp, seq). Returns (grp, seq, seq_text, n_tokens).
+
+    ``docs_tokens`` must carry (id_col, toks: array<string>) with the
+    SAME token counts packing used. Determinism: segments aggregate via
+    sort-by-doc-id array algebra, never bare collect_list order.
+
+    Scale shape: the segment table joins docs on the id (broadcast or
+    shuffle hash join on a uniform key), then ONE aggregation on
+    (grp, seq). Every sequence is <= budget tokens by construction, so
+    group state is bounded and no sequence row can blow up a task."""
+    joined = segs.join(docs_tokens.select(F.col(id_col), F.col("toks")), id_col)
+    piece = F.slice(
+        F.col("toks"),
+        (F.col("tok_begin") + 1).cast("int"),
+        (F.col("tok_end") - F.col("tok_begin")).cast("int"),
+    )
+    per_seg = joined.select(
+        "grp",
+        "seq",
+        F.struct(F.col(id_col).alias("id"), piece.alias("piece")).alias("seg"),
+    )
+    ordered = F.array_sort(F.collect_list("seg"))
+    return per_seg.groupBy("grp", "seq").agg(
+        F.array_join(
+            F.flatten(F.transform(ordered, lambda s: s.getField("piece"))), " "
+        ).alias("seq_text"),
+        F.aggregate(
+            F.transform(ordered, lambda s: F.size(s.getField("piece"))),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

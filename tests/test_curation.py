@@ -135,3 +135,34 @@ def test_token_count_consistency_for_packing(spark, corpus):
     df = corpus.select("doc_id", token_count("text").alias("n_tok"))
     segs = pack_sequences(df, "doc_id", "n_tok", budget=1000, n_groups=2).collect()
     assert all(r["seq"] == 0 for r in segs)  # everything fits in seq 0 per group
+
+
+def test_materialize_sequences_roundtrip(spark):
+    """Concatenating a group's sequences in seq order must reproduce
+    exactly the group's documents' token streams in doc order — no
+    token lost, duplicated, or reordered across span splits."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        materialize_sequences,
+    )
+    from audience_behavior_semantic_etl_spark.operators.text import tokens as tok_col
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(3 + (i * 7) % 23))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_tok = docs.select("doc_id", tok_col(F.col("text")).alias("toks"))
+    tc = docs_tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
+    from audience_behavior_semantic_etl_spark.operators.curation import pack_sequences
+
+    segs = pack_sequences(tc, "doc_id", "n_tok", budget=16, n_groups=2)
+    mat = materialize_sequences(segs, docs_tok, "doc_id", 16).collect()
+
+    by_grp: dict[int, list] = {}
+    for r in mat:
+        by_grp.setdefault(r["grp"], []).append(r)
+    toks = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    for g, rs in by_grp.items():
+        rs.sort(key=lambda r: r["seq"])
+        got = " ".join(r["seq_text"] for r in rs).split()
+        want = [w for d in sorted(toks) if d % 2 == g for w in toks[d]]
+        assert got == want, f"group {g} token stream mismatch"
+        for r in rs[:-1]:
+            assert r["n_tokens"] == 16, "non-tail sequences must be full"
