@@ -1278,7 +1278,7 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = docs_tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
     segs = pack_sequences(tc, "doc_id", "n_tok", budget=64, n_groups=8)
-    return materialize_sequences(segs, docs_tok, "doc_id", 64)
+    return materialize_sequences(segs, docs_tok, "doc_id")
 
 
 def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,6 +139,8 @@ def pack_sequences(
     cores, it costs nothing else. Zero-token documents are dropped
     (they occupy no span).
     """
+    if budget <= 0 or n_groups <= 0:
+        raise ValueError(f"budget and n_groups must be positive, got {budget}, {n_groups}")
     tc = F.col(token_count_col).cast("bigint")
     grp = F.pmod(F.col(id_col), F.lit(n_groups)).cast("int")
     w = (
@@ -173,7 +175,6 @@ def materialize_sequences(
     segs: DataFrame,
     docs_tokens: DataFrame,
     id_col: str,
-    budget: int,
 ) -> DataFrame:
     """Turn a pack_sequences assignment table into actual training
     sequences: join each (doc, span) segment back to the document's
@@ -186,8 +187,9 @@ def materialize_sequences(
 
     Scale shape: the segment table joins docs on the id (broadcast or
     shuffle hash join on a uniform key), then ONE aggregation on
-    (grp, seq). Every sequence is <= budget tokens by construction, so
-    group state is bounded and no sequence row can blow up a task."""
+    (grp, seq). Every sequence is <= the packing budget by
+    construction, so group state is bounded and no sequence row can
+    blow up a task."""
     joined = segs.join(docs_tokens.select(F.col(id_col), F.col("toks")), id_col)
     piece = F.slice(
         F.col("toks"),

@@ -153,7 +153,7 @@ def test_materialize_sequences_roundtrip(spark):
     from audience_behavior_semantic_etl_spark.operators.curation import pack_sequences
 
     segs = pack_sequences(tc, "doc_id", "n_tok", budget=16, n_groups=2)
-    mat = materialize_sequences(segs, docs_tok, "doc_id", 16).collect()
+    mat = materialize_sequences(segs, docs_tok, "doc_id").collect()
 
     by_grp: dict[int, list] = {}
     for r in mat:
