@@ -616,3 +616,18 @@ def test_quarantine_dead_letter_sink(spark, tmp_path):
     # clean tables report an empty (schema-stable) quarantine
     t2 = SnapshotTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
     assert t2.read_quarantine().count() == 0
+
+
+def test_time_travel_survives_compaction(spark, tmp_path):
+    """Compaction rewrites a bucket's live view into one delta, but the
+    PRE-compaction version must stay readable (its manifest still
+    references the original delta files, which compaction may not
+    delete or mutate — only gc_orphans retires them)."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "V1")])), table, 0)
+    v_pre = table.manifest().version
+    apply_batch(_envelope_df(spark, _mk_events([(2, "update", "V2")])), table, 1)
+    table.compact_buckets(list(range(2)))
+    assert table.manifest().version > v_pre
+    assert list(table.read_final().toPandas()["text"]) == ["V2"]
+    assert list(table.read_final(version=v_pre).toPandas()["text"]) == ["V1"]
