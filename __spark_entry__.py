@@ -1258,6 +1258,26 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", redact_pii(injected).alias("redacted"))
 
 
+def q_decontaminate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminate() anti-join composition end to end: the
+    corpus MINUS documents whose benchmark 3-shingle overlap >= 0.8
+    (benchmark = doc_id % 20 == 0), rolled up per language.
+    Zero-shingle documents are retained by contract (nothing to match
+    on). Same broadcast semi-join shape as q_decontaminate plus one
+    anti-join and a low-cardinality rollup."""
+    from audience_behavior_semantic_etl_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    kept = decontaminate(corpus, bench, "text", "doc_id", threshold=0.8)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
 def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing MATERIALIZED: the pack_sequences assignment
     table joined back to the documents' token arrays, span-sliced and
@@ -1415,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_mix": q_training_mix,
         "q_window_rank_family": q_window_rank_family,
         "q_pack_materialize": q_pack_materialize,
+        "q_decontaminate_survivors": q_decontaminate_survivors,
     }
 
 
@@ -2329,5 +2350,28 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(array_to_string(p, ' '), ' ' ORDER BY doc_id) AS seq_text,
                    CAST(sum(len(p)) AS BIGINT) AS n_tokens
             FROM piece GROUP BY grp, seq
+        """,
+        # decontaminate survivors: corpus minus flagged (>= 0.8 overlap),
+        # zero-shingle docs retained, rolled up per language
+        "q_decontaminate_survivors": f"""
+            WITH {_TOK_CTE}, {_SHINGLE_CTE},
+            bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 20 = 0),
+            corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0 AND len(sh) > 0),
+            hits AS (
+              SELECT c.doc_id, count(*) AS n_cont
+              FROM (SELECT doc_id, unnest(sh) AS s FROM corp) c
+              JOIN bench USING (s)
+              GROUP BY 1),
+            flagged AS (
+              SELECT corp.doc_id
+              FROM corp JOIN hits ON corp.doc_id = hits.doc_id
+              WHERE round(CAST(hits.n_cont AS DOUBLE) / len(corp.sh), 4) >= 0.8)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc_id
+            FROM documents
+            WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+            GROUP BY lang
         """,
     }
