@@ -161,6 +161,20 @@ def main() -> int:
             spark.createDataFrame(head, schema=spark.read.parquet(wal).schema),
             warm_tbl, 0, ApplyConfig(),
         )
+        # Second, LARGER warm at full thread width (file-backed, ~1/8 of
+        # the WAL): the small row-backed batch above exercises every
+        # code path but not enough ITERATIONS to carry the parquet
+        # encode / normalize loops through tiered JIT when N threads
+        # compile concurrently — on a degraded shared host the first
+        # timed 6.5M-event batch still ran 5-10x slow at local[32]
+        # (write 114 s vs 11 s for the very next identical batch) while
+        # local[8] showed no such cliff. Still warm-up, still excluded:
+        # long-lived executors on a real cluster run compiled code.
+        wal_files = sorted(
+            os.path.join(wal, f) for f in os.listdir(wal) if f.endswith(".parquet")
+        )
+        k = max(1, len(wal_files) // 8)
+        _apply(spark.read.parquet(*wal_files[:k]), warm_tbl, 1, ApplyConfig())
         shutil.rmtree(f"{work}/warm", ignore_errors=True)
 
         table = SnapshotTable.create(spark, f"{work}/table", n_buckets=args.n_buckets)
