@@ -31,3 +31,24 @@ from audience_behavior_semantic_etl_spark.operators.flatten import (  # noqa: F4
     parse_url_columns,
 )
 from audience_behavior_semantic_etl_spark.operators.sessionize import sessionize  # noqa: F401
+
+# Training-data pipeline operators (beyond the reference inventory;
+# full surfaces live in their modules — these are the headline entry
+# points a pipeline composes).
+from audience_behavior_semantic_etl_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    near_dedup,
+    near_dedup_pairs,
+)
+from audience_behavior_semantic_etl_spark.operators.curation import (  # noqa: F401
+    contamination_stats,
+    decontaminate,
+    exact_stratified_sample,
+    materialize_sequences,
+    pack_sequences,
+    stratified_sample,
+)
+from audience_behavior_semantic_etl_spark.operators.text import (  # noqa: F401
+    redact_pii,
+    text_profile,
+)
