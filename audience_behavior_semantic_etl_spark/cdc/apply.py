@@ -581,17 +581,35 @@ def apply_batch(
         # "quarantine" without a sink would still be silent loss of the
         # PAYLOADS. When (and only when) poison rows were detected, one
         # extra job re-selects the original envelope rows — null-key data
-        # events plus record-strict parse failures, the exact set
-        # normalize dropped — and lands them under
-        # <root>/_quarantine/batch=<id>/ for inspection/replay. Written
-        # BEFORE the commit and with overwrite semantics, so a crash-and
-        # -redeliver rewrites it idempotently; the happy path pays
-        # nothing (the job only runs when the Observation saw poison).
+        # events plus record-strict parse failures — and lands them under
+        # <root>/_quarantine/app=<app_id>/batch=<id>/ for inspection /
+        # replay (app-scoped like the commit ledger, so two apps with
+        # overlapping batch ids never overwrite each other's dead
+        # letters). Written BEFORE the commit and with overwrite
+        # semantics, so a crash-and-redeliver rewrites it idempotently;
+        # the happy path pays nothing (the job only runs when the
+        # Observation saw poison).
+        #
+        # CONTRACT under the high-churn pre-collapse (deduped=True):
+        # the selection runs over PRE-collapse events_raw, so the dead
+        # letter dir captures ALL poison envelope rows — a SUPERSET of
+        # what normalize actually dropped (metrics.malformed counts
+        # post-collapse drops only, so the dir may hold more rows than
+        # the metric reports). Conversely, a poison row superseded by a
+        # later good event for the same key never reaches normalize: if
+        # EVERY poison row in a batch is superseded, n_malformed stays 0
+        # and the quarantine job does not fire. Making that gate exact
+        # would require parsing every pre-collapse payload (or pulling
+        # `payload` into the column-pruned stats scan) on the hot path —
+        # deliberately not paid for a rare-path diagnostic; superseded
+        # poison is, by LWW definition, data that could never have
+        # affected table state. (On the non-dedup path the selection IS
+        # the exact set normalize dropped.)
         if cfg.on_malformed == "quarantine" and n_malformed > 0:
             quar = events_raw.filter(F.col("op") != "schema_change").filter(
                 F.col("conv_id").isNull() | malformed_predicate(out_schema)
             )
-            quar.write.mode("overwrite").parquet(table.quarantine_dir(batch_id))
+            quar.write.mode("overwrite").parquet(table.quarantine_dir(batch_id, cfg.app_id))
         _phase("write")
 
         snapshot = table.commit_append_deltas(

@@ -61,6 +61,13 @@ def bucket_expr(conv_col, n_buckets: int):
     return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets)).cast("int")
 
 
+def _safe_dirname(s: str) -> str:
+    """App ids become directory components (quarantine layout); replace
+    anything path-hostile so an id like 'etl/prod' can't escape the
+    _quarantine tree."""
+    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in s) or "_"
+
+
 @dataclass
 class Manifest:
     version: int
@@ -351,23 +358,34 @@ class SnapshotTable:
         committed = self.manifest().properties.get("committed_batches", {})
         return batch_id <= committed.get(app_id, -1)
 
-    def quarantine_dir(self, batch_id: int) -> str:
-        """Dead-letter location for batch ``batch_id``'s poison rows
-        (original envelope rows, replayable). Written by apply_batch in
-        quarantine mode; outside the data/manifest lifecycle, so GC and
-        compaction never touch it."""
-        return os.path.join(self.root, "_quarantine", f"batch={batch_id}")
+    def quarantine_dir(self, batch_id: int, app_id: str = "default") -> str:
+        """Dead-letter location for ``app_id``'s batch ``batch_id``
+        poison rows (original envelope rows, replayable). App-scoped to
+        mirror the per-app exactly-once commit ledger: two apps applying
+        to the same table with overlapping batch ids must not overwrite
+        each other's dead letters (apply_batch writes with
+        mode('overwrite') for idempotent redelivery). Written by
+        apply_batch in quarantine mode; outside the data/manifest
+        lifecycle, so GC and compaction never touch it."""
+        return os.path.join(
+            self.root, "_quarantine", f"app={_safe_dirname(app_id)}", f"batch={batch_id}"
+        )
 
     def read_quarantine(self) -> DataFrame:
-        """All quarantined envelope rows across batches (empty frame
-        with the envelope schema when nothing was ever quarantined).
-        Re-applying a fixed subset is just ``apply_batch`` over this."""
+        """All quarantined envelope rows across apps and batches (empty
+        frame with the envelope schema when nothing was ever
+        quarantined). Re-applying a fixed subset is just ``apply_batch``
+        over this. Tolerates the pre-app-scoped layout
+        (_quarantine/batch=N) for tables written by older versions."""
         base = os.path.join(self.root, "_quarantine")
-        dirs = (
-            [os.path.join(base, d) for d in sorted(os.listdir(base))]
-            if os.path.isdir(base)
-            else []
-        )
+        dirs: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                p = os.path.join(base, d)
+                if d.startswith("app="):
+                    dirs.extend(os.path.join(p, b) for b in sorted(os.listdir(p)))
+                else:  # legacy flat batch=N layout
+                    dirs.append(p)
         if not dirs:
             return self.spark.createDataFrame([], S.ENVELOPE_SCHEMA)
         return self.spark.read.schema(S.ENVELOPE_SCHEMA).parquet(*dirs)

@@ -28,20 +28,32 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Full reference struct shape (UserAgentFunctions.scala:25-31):
-# UserAgent(family, major, minor, patch, os(family, major, minor),
-# device(family)) — flattened here with os_/device_ prefixes, which is
-# what the reference's enrich-then-RenameColumns chain produced anyway.
+# Full reference struct shape, NESTED as the reference emits it
+# (UserAgentFunctions.scala:28-30): UserAgent(family, major, minor,
+# patch, os(family, major, minor, patch, patchMinor), device(family)).
+# A reference user's dotted-path projections (u.os.family,
+# u.device.family) and the enrich-then-RenameColumns flatten chain both
+# work unchanged against this shape. The regex-ladder stub does not
+# extract OS patch levels, so os.patch / os.patch_minor are null —
+# shape fidelity with stubbed values, per the env limits.
+OS_STRUCT = T.StructType(
+    [
+        T.StructField("family", T.StringType()),
+        T.StructField("major", T.StringType()),
+        T.StructField("minor", T.StringType()),
+        T.StructField("patch", T.StringType()),
+        T.StructField("patch_minor", T.StringType()),
+    ]
+)
+DEVICE_STRUCT = T.StructType([T.StructField("family", T.StringType())])
 UA_STRUCT = T.StructType(
     [
         T.StructField("family", T.StringType()),
         T.StructField("major", T.StringType()),
         T.StructField("minor", T.StringType()),
         T.StructField("patch", T.StringType()),
-        T.StructField("os_family", T.StringType()),
-        T.StructField("os_major", T.StringType()),
-        T.StructField("os_minor", T.StringType()),
-        T.StructField("device_family", T.StringType()),
+        T.StructField("os", OS_STRUCT),
+        T.StructField("device", DEVICE_STRUCT),
     ]
 )
 
@@ -65,17 +77,14 @@ _UA_DEVICE = [
     ("Mobile", re.compile(r"Mobile|Android")),
 ]
 
-_UA_COLS = [
-    "family", "major", "minor", "patch",
-    "os_family", "os_major", "os_minor", "device_family",
-]
+_UA_COLS = ["family", "major", "minor", "patch", "os", "device"]
 
 
 def _parse_ua_batch(s: pd.Series) -> pd.DataFrame:
     rows = []
     for ua in s:
         if not isinstance(ua, str) or not ua:
-            rows.append((None,) * len(_UA_COLS))
+            rows.append((None, None, None, None, None, None))
             continue
         f = mj = mn = pt = None
         for name, rx in _UA_BROWSERS:
@@ -95,7 +104,11 @@ def _parse_ua_batch(s: pd.Series) -> pd.DataFrame:
                 omn = (g[1] or None) if len(g) > 1 else None
                 break
         d = next((name for name, rx in _UA_DEVICE if rx.search(ua)), "Desktop")
-        rows.append((f or "Other", mj, mn, pt, o, omj, omn, d))
+        os_struct = {
+            "family": o, "major": omj, "minor": omn,
+            "patch": None, "patch_minor": None,
+        }
+        rows.append((f or "Other", mj, mn, pt, os_struct, {"family": d}))
     return pd.DataFrame(rows, columns=_UA_COLS)
 
 
@@ -105,16 +118,22 @@ def parse_user_agent_udf(ua: pd.Series) -> pd.DataFrame:
     return _parse_ua_batch(ua)
 
 
-# Full reference struct shape (geoip/IpLocation.scala:28-35): country /
-# continent / postalCode / geoPoint(lat, lon) — postal code included so
-# a reference user's downstream projections keep working.
+# Full reference struct shape, NESTED (geoip/IpLocation.scala:28-35):
+# IpLocation(countryCode, countryName, region, city, geoPoint(lat, lon),
+# postalCode, continent) — snake_cased, geo_point as a genuine sub-struct
+# so a reference user's g.geo_point.lat projections keep working.
+GEO_POINT_STRUCT = T.StructType(
+    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+)
 IP_STRUCT = T.StructType(
     [
         T.StructField("country_code", T.StringType()),
-        T.StructField("continent", T.StringType()),
+        T.StructField("country_name", T.StringType()),
+        T.StructField("region", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("geo_point", GEO_POINT_STRUCT),
         T.StructField("postal_code", T.StringType()),
-        T.StructField("lat", T.DoubleType()),
-        T.StructField("lon", T.DoubleType()),
+        T.StructField("continent", T.StringType()),
     ]
 )
 
@@ -123,10 +142,16 @@ _IP_RE = re.compile(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
 # Deterministic stub "geo database": no GeoLite2 in this environment.
 # Same plumbing as the reference's per-executor lazy reader.
 _COUNTRIES = [
-    ("US", "NA", 39.8, -98.6), ("GB", "EU", 54.0, -2.0), ("DE", "EU", 51.0, 9.0),
-    ("FR", "EU", 47.0, 2.0), ("IN", "AS", 21.0, 78.0), ("CN", "AS", 35.0, 103.0),
-    ("JP", "AS", 36.0, 138.0), ("BR", "SA", -10.0, -55.0), ("AU", "OC", -25.0, 134.0),
-    ("ZA", "AF", -29.0, 24.0),
+    ("US", "United States", "NA", 39.8, -98.6),
+    ("GB", "United Kingdom", "EU", 54.0, -2.0),
+    ("DE", "Germany", "EU", 51.0, 9.0),
+    ("FR", "France", "EU", 47.0, 2.0),
+    ("IN", "India", "AS", 21.0, 78.0),
+    ("CN", "China", "AS", 35.0, 103.0),
+    ("JP", "Japan", "AS", 36.0, 138.0),
+    ("BR", "Brazil", "SA", -10.0, -55.0),
+    ("AU", "Australia", "OC", -25.0, 134.0),
+    ("ZA", "South Africa", "AF", -29.0, 24.0),
 ]
 
 _geo_cache: dict[str, tuple] = {}  # per-python-worker LRU analog (MaxMinIpGeo.scala:69-77)
@@ -137,12 +162,23 @@ def _lookup_ip(ip: str):
         return _geo_cache[ip]
     m = _IP_RE.match(ip) if isinstance(ip, str) else None
     if not m or any(int(g) > 255 for g in m.groups()):
-        res = (None, None, None, None, None)
+        res = (None, None, None, None, None, None, None)
     else:
-        # STUB: deterministic bucket of the /16 prefix — NOT a real geo DB.
+        # STUB: deterministic bucket of the /16 prefix — NOT a real geo
+        # DB. region/city are synthetic but stable functions of the
+        # prefix, filling the reference's region/city slots.
         pfx = int(m.group(1)) * 256 + int(m.group(2))
-        cc, cont, lat, lon = _COUNTRIES[pfx % len(_COUNTRIES)]
-        res = (cc, cont, f"{pfx % 100000:05d}", lat, lon)
+        b = pfx % len(_COUNTRIES)
+        cc, cname, cont, lat, lon = _COUNTRIES[b]
+        res = (
+            cc,
+            cname,
+            f"R{b}",
+            f"C{pfx % 997}",
+            {"lat": lat, "lon": lon},
+            f"{pfx % 100000:05d}",
+            cont,
+        )
     if len(_geo_cache) < 10_000:
         _geo_cache[ip] = res
     return res
@@ -153,5 +189,9 @@ def parse_ip_udf(ip: pd.Series) -> pd.DataFrame:
     """Vectorized IP -> geo struct (reference U2 analog; stub DB)."""
     rows = [_lookup_ip(v) for v in ip]
     return pd.DataFrame(
-        rows, columns=["country_code", "continent", "postal_code", "lat", "lon"]
+        rows,
+        columns=[
+            "country_code", "country_name", "region", "city",
+            "geo_point", "postal_code", "continent",
+        ],
     )

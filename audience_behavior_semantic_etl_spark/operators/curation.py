@@ -60,31 +60,36 @@ def contamination_stats(
     (benchmarks are MB-sized; the corpus is the TB side), the corpus is
     explode+hash map-only, and the only shuffle is the per-doc count
     aggregation on a uniform key. Zero-shingle documents are excluded
-    (contamination is undefined for them).
+    (contamination is undefined for them; explode of an empty shingle
+    array yields no rows, so they fall out of the aggregate naturally).
+
+    ONE corpus pass: because ``shingled`` emits DISTINCT shingles per
+    document, size(sh) equals the exploded row count, so n_shingles and
+    n_contaminated come out of the SAME explode -> broadcast-left-join
+    -> groupBy — no second consumer, hence no ``.persist()`` and no
+    session-lifetime cache leak (an earlier two-consumer version
+    persisted the row-heavy shingle frame for the session lifetime —
+    the row-cache pressure hazard CLAUDE.md documents).
     """
     bench_sh = shingled(benchmark, bench_text_col or text_col, id_col, k)
     bench_set = (
         bench_sh.select(F.explode("sh").alias("s"))
         .select(F.xxhash64("s").alias("s"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    # persist BEFORE the size filter: a predicate on the unmaterialized
-    # shingle expression makes Catalyst inline the whole
-    # tokenize+shingle subtree into both the filter and the projection
-    # (the measured 32x hazard documented in dedup.lsh_candidates_from_shingled)
-    corp_sh = shingled(corpus, text_col, id_col, k).persist()
-    corp_sh = corp_sh.filter(F.size("sh") > 0)
-    hits = (
-        corp_sh.select("id", F.explode("sh").alias("s"))
+    ex = (
+        shingled(corpus, text_col, id_col, k)
+        .select("id", F.explode("sh").alias("s"))
         .select("id", F.xxhash64("s").alias("s"))
-        .join(F.broadcast(bench_set), "s")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    sizes = corp_sh.select("id", F.size("sh").cast("bigint").alias("n_shingles"))
     return (
-        sizes.join(hits, "id", "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)).cast("bigint"))
+        ex.join(F.broadcast(bench_set), "s", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
         .withColumn(
             "contamination", F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
         )
@@ -230,13 +235,21 @@ def stratified_sample(
     decision is a pure row-local function; no shuffle, no RNG state,
     identical output on every engine and every run. This is how a
     100 TB pipeline re-weights sources/languages without a
-    collect or a second pass."""
+    collect or a second pass.
+
+    NULL strata are first-class: the stratum is coalesced to a sentinel
+    ('') before seeding, so NULL rows get a valid uniform and sample at
+    ``default_rate`` (or ``rates['']``). Without the coalesce the
+    engines diverge — Spark's concat_ws SKIPS null args while ANSI
+    string concat propagates NULL, silently dropping every NULL-stratum
+    row on one engine only."""
+    stratum = F.coalesce(F.col(stratum_col).cast("string"), F.lit(""))
     u = md5_unit_interval(
-        F.concat_ws("|", F.lit(salt), F.col(stratum_col), F.col(id_col).cast("string"))
+        F.concat_ws("|", F.lit(salt), stratum, F.col(id_col).cast("string"))
     )
     rate = F.lit(float(default_rate))
     for s, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
+        rate = F.when(stratum == s, F.lit(float(r))).otherwise(rate)
     return df.filter(u < rate)
 
 
@@ -252,9 +265,19 @@ def exact_stratified_sample(
     subset) and keep rank <= n. Deterministic reservoir-sampling
     equivalent; ONE window shuffle on the stratum key. Ties are
     impossible in practice (md5 over distinct ids) but id breaks them
-    deterministically anyway."""
+    deterministically anyway. NULL strata coalesce to '' (one stratum),
+    matching :func:`stratified_sample`.
+
+    SKEW HAZARD: the window partitions by stratum, so each stratum's
+    rows serialize through ONE task. Fine for per-language/per-source
+    sampling (strata ≈ tens–thousands, each a manageable slice); wrong
+    when a single mega-stratum dominates the corpus — that stratum
+    becomes one straggler task holding its whole slice. For that shape
+    use :func:`threshold_stratified_sample`, which replaces the window
+    with a two-pass rate estimate + map-only filter."""
+    stratum = F.coalesce(F.col(stratum_col).cast("string"), F.lit(""))
     u = md5_unit_interval(
-        F.concat_ws("|", F.lit(salt), F.col(stratum_col), F.col(id_col).cast("string"))
+        F.concat_ws("|", F.lit(salt), stratum, F.col(id_col).cast("string"))
     )
     w = Window.partitionBy(stratum_col).orderBy(F.col("__u"), F.col(id_col))
     return (
@@ -262,4 +285,39 @@ def exact_stratified_sample(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__u", "__rk")
+    )
+
+
+def threshold_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Approximately-n-per-stratum sample that survives a mega-stratum:
+    instead of ranking inside a per-stratum window (one task per
+    stratum — :func:`exact_stratified_sample`'s documented skew bound),
+    pass 1 computes each stratum's row count with a plain hash
+    aggregate (partial-agg map-side combine, output bounded by
+    #strata), pass 2 broadcasts the per-stratum keep-threshold
+    ``n/count`` and filters on the SAME md5-uniform — map-only, fully
+    parallel regardless of skew. Returns ~n ± O(sqrt(n)) rows per
+    stratum (binomial, deterministic given salt); use the exact variant
+    when the count must be exact and no stratum dominates."""
+    stratum = F.coalesce(F.col(stratum_col).cast("string"), F.lit(""))
+    u = md5_unit_interval(
+        F.concat_ws("|", F.lit(salt), stratum, F.col(id_col).cast("string"))
+    )
+    counts = df.groupBy(stratum.alias("__s")).agg(F.count(F.lit(1)).alias("__n"))
+    thresholds = counts.select(
+        "__s",
+        F.least(F.lit(1.0), F.lit(float(n_per_stratum)) / F.col("__n")).alias("__thr"),
+    )
+    return (
+        df.withColumn("__s", stratum)
+        .withColumn("__u", u)
+        .join(F.broadcast(thresholds), "__s")
+        .filter(F.col("__u") < F.col("__thr"))
+        .drop("__s", "__u", "__thr")
     )

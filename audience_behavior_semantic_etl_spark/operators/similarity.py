@@ -154,7 +154,13 @@ def ivf_fit(
     partial agg, no wide shuffle), update as posexplode →
     per-(cell, component) average → array re-assembly. A cell that
     loses all members keeps its previous centroid. The result is
-    always ≤ n_cells rows — broadcast it everywhere."""
+    always ≤ n_cells rows — broadcast it everywhere.
+
+    Determinism contract: each updated centroid component is rounded to
+    9 decimals. avg() accumulates doubles in engine-dependent order, so
+    unrounded centroids differ across engines in the ~1e-15 tail; the
+    round pins them bit-identical, making the REFINED quantizer (not
+    just the seed) reproducible by the SQL oracle."""
     centroids = (
         corpus.orderBy(F.col(id_col))
         .limit(n_cells)
@@ -181,7 +187,7 @@ def ivf_fit(
         new = (
             assigned.select("cell_id", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 9).alias("m"))
             .groupBy("cell_id")
             .agg(
                 F.transform(

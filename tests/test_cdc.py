@@ -631,3 +631,64 @@ def test_time_travel_survives_compaction(spark, tmp_path):
     assert table.manifest().version > v_pre
     assert list(table.read_final().toPandas()["text"]) == ["V2"]
     assert list(table.read_final(version=v_pre).toPandas()["text"]) == ["V1"]
+
+
+def test_crash_window_between_compaction_commit_and_next_apply(spark, tmp_path):
+    """The async-compaction crash window (round-2 verdict #8): the app
+    dies AFTER a background compaction commits but BEFORE the next
+    apply (so the compaction was never joined and its staging dir may
+    linger). The resumed process runs gc_orphans INSIDE the staging
+    grace window first — maintenance-on-startup — then re-delivers the
+    last batch and continues the stream. Required: zero data loss,
+    every current-manifest file intact after GC, re-delivery no-ops,
+    and the final state equals the independent LWW oracle."""
+    import os
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import _COMPACTIONS, _spawn_compaction
+
+    log = generate_change_log(GenConfig(seed=17, n_convs=40))
+    oracle = expected_final_state(log)
+    cuts = log["lsn"].quantile([0.34, 0.67]).tolist()
+    batches = [
+        log[log["lsn"] <= cuts[0]],
+        log[(log["lsn"] > cuts[0]) & (log["lsn"] <= cuts[1])],
+        log[log["lsn"] > cuts[1]],
+    ]
+    assert all(len(b) for b in batches)
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cfg = ApplyConfig(auto_compact=False, shuffle_partitions=4)
+    apply_batch(_envelope_df(spark, batches[0]), table, 0, cfg)
+    apply_batch(_envelope_df(spark, batches[1]), table, 1, cfg)
+
+    # background compaction COMMITS (thread completes) ...
+    buckets = [int(b) for b, fs in table.manifest().buckets.items() if fs]
+    _spawn_compaction(table, buckets, 4)
+    th, err = _COMPACTIONS[table.root]
+    th.join()
+    assert not err, f"compaction failed: {err}"
+    v_compacted = table.manifest().version
+    # ... and the process dies HERE: nothing joins the compaction, the
+    # next apply never runs. A new process has an empty registry.
+    _COMPACTIONS.pop(table.root, None)
+
+    # resume from a fresh handle; startup maintenance runs GC inside
+    # the grace window (any not-yet-reclaimed staging dir is younger
+    # than the window and MUST survive)
+    t2 = SnapshotTable(spark, table.root)
+    t2.gc_orphans(keep_versions=1, staging_grace_seconds=3600.0)
+    m = t2.manifest()
+    assert m.version == v_compacted, "GC must not move the table version"
+    for fs in m.buckets.values():
+        for f in fs:
+            assert os.path.exists(os.path.join(t2.root, f)), f"GC deleted live file {f}"
+    check_equal(table_to_pandas(t2), expected_final_state(log[log["lsn"] <= cuts[1]]))
+
+    # exactly-once: the stream re-delivers batch 1 on resume -> no-op
+    m_re = apply_batch(_envelope_df(spark, batches[1]), t2, 1, cfg)
+    assert m_re.skipped, "re-delivered pre-crash batch must no-op"
+    assert t2.manifest().version == v_compacted
+
+    # the stream continues; final state converges to the full oracle
+    apply_batch(_envelope_df(spark, batches[2]), t2, 2, cfg)
+    check_equal(table_to_pandas(t2), oracle)

@@ -166,3 +166,31 @@ def test_materialize_sequences_roundtrip(spark):
         assert got == want, f"group {g} token stream mismatch"
         for r in rs[:-1]:
             assert r["n_tokens"] == 16, "non-tail sequences must be full"
+
+
+def test_threshold_stratified_sample_mega_stratum(spark):
+    """The skew-safe two-pass variant: ~n per stratum without a
+    per-stratum window (no single-task mega-stratum bound), map-only
+    after the broadcast of per-stratum thresholds; deterministic; a
+    stratum smaller than n comes back whole; NULL strata are one ''
+    stratum like the other samplers."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        threshold_stratified_sample,
+    )
+
+    rows = [(i, "mega") for i in range(5000)] + [(i + 10000, "tiny") for i in range(30)]
+    rows += [(i + 20000, None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = threshold_stratified_sample(df, "grp", "doc_id", 100).collect()
+    n = {}
+    for r in out:
+        n[r["grp"]] = n.get(r["grp"], 0) + 1
+    # binomial around n: 100 ± ~4*sqrt(100)
+    assert abs(n["mega"] - 100) < 40, n
+    assert abs(n[None] - 100) < 40, n
+    assert n["tiny"] == 30, "stratum smaller than n must come back whole"
+    again = threshold_stratified_sample(df, "grp", "doc_id", 100).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+    # no Window/per-stratum serialization in the plan
+    plan = threshold_stratified_sample(df, "grp", "doc_id", 100)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
