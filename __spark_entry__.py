@@ -1269,6 +1269,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe ~n-per-stratum sampling (operators.curation
+    .threshold_stratified_sample): pass 1 aggregates per-stratum counts
+    (bounded output), pass 2 broadcasts n/count keep-thresholds and
+    filters on the portable md5-uniform — map-only after the broadcast,
+    no per-stratum window, so a mega-stratum cannot serialize a task
+    (the exact variant's documented bound). Fully deterministic: the
+    oracle recomputes counts, thresholds, and uniforms bit-for-bit."""
+    from audience_behavior_semantic_etl_spark.operators.curation import (
+        threshold_stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return threshold_stratified_sample(docs, "lang", "doc_id", 100)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators.text.redact_pii): deterministic PII
     (email/IP/card/phone built from doc_id) is injected into each
@@ -1474,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collect_paths": q_collect_paths,
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
+        "q_threshold_sample": q_threshold_sample,
     }
 
 
@@ -2344,6 +2361,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE u < CASE coalesce(lang, '')
                         WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                         WHEN 'fr' THEN 0.1 ELSE 0.05 END
+        """,
+        # skew-safe two-pass sampler: per-stratum count -> n/count
+        # threshold -> same md5-uniform keep rule (NULL stratum -> '')
+        "q_threshold_sample": f"""
+            WITH c AS (
+              SELECT coalesce(lang, '') AS s, count(*) AS n
+              FROM documents GROUP BY 1)
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source, coalesce(lang, '') AS s,
+                     {_md5_u32_sql("'strat|' || coalesce(lang, '') || '|' || CAST(doc_id AS VARCHAR)")}
+                       / 4294967296.0 AS u
+              FROM documents) d
+            JOIN c USING (s)
+            WHERE u < least(1.0, 100.0 / n)
         """,
         # PII redaction: pattern chain generated from PII_PATTERNS
         "q_redact_pii": f"""

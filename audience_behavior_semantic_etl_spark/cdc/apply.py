@@ -57,7 +57,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.sql import types as T
@@ -94,6 +94,21 @@ class ApplyConfig:
     # compaction is in flight per table; apply joins the previous one
     # before scheduling the next.
     async_compact: bool = True
+    # per-write parquet options for the hot-path DELTA write only;
+    # compaction keeps the session default — the standard LSM trade:
+    # deltas are written once per batch and live briefly (compaction
+    # folds them), so cheap encode wins; compacted files are read by
+    # every subsequent query, so spend more there if it buys size.
+    # Measured (local[8], 6.5M-event bench batch, interleaved 3-pass
+    # A/B, /dev/shm table): zstd level 1 vs explicit level 3 wrote
+    # 11.5/12.2/13.6 s vs 14.1/12.6/13.8 s AND produced 3.4% SMALLER
+    # deltas (263.0 vs 272.2 MB) — on this short-string transcript
+    # payload the higher search depth buys nothing, so level 1 wins
+    # both axes. parquet.enable.dictionary=false was erratic
+    # (10.9-24.3 s) and larger; rejected. See BENCH/BASELINE.md.
+    delta_write_options: dict[str, str] = field(
+        default_factory=lambda: {"parquet.compression.codec.zstd.level": "1"}
+    )
 
 
 def winners_schema(table: SnapshotTable) -> T.StructType:
@@ -557,12 +572,12 @@ def apply_batch(
         final_rows = final_rows.filter(F.col("__malformed") == 0).drop("__malformed")
 
         staged = table.new_staging_dir()
-        (
-            final_rows.sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(staged)
+        writer = final_rows.sortWithinPartitions("conv_id", "turn_idx").write.mode(
+            "overwrite"
         )
+        for k, v in cfg.delta_write_options.items():
+            writer = writer.option(k, v)
+        writer.partitionBy("__bucket").parquet(staged)
         # Metrics ride the write action via CollectMetrics — no extra job
         # in the common case. When AQE's empty-relation propagation
         # eliminates the whole subtree (empty batch data), the metrics
