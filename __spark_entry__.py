@@ -1128,6 +1128,35 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState,
+    streaming/sessionize.py): event-time sessionization whose per-key
+    state is the open-horizon event buffer, closed sessions emitted
+    exactly once when the watermark passes session_end + gap, state
+    evicted with them (eviction asserted separately in
+    tests/test_streaming_and_metrics.py). Drained over a multi-file
+    out-of-event-time-order arrival, the result is bit-equal to the
+    batch gap rule — which is the oracle."""
+    import os
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    srcd = tempfile.mkdtemp(prefix="stream-sess-q-")
+    ev.repartition(4).write.mode("overwrite").parquet(srcd)
+    parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
+    base = max(os.path.getmtime(os.path.join(srcd, p)) for p in parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(srcd, p), (base + i, base + i))
+    return streaming_sessionize(
+        spark, srcd, key_col="user_id", ts_col="ts", gap_minutes=30,
+        files_per_trigger=2,
+    )
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation / time travel over the REAL engine: the events
     change log is applied in TWO batches to a SnapshotTable; after both
@@ -1491,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
         "q_threshold_sample": q_threshold_sample,
+        "q_stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -2375,6 +2405,29 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) d
             JOIN c USING (s)
             WHERE u < least(1.0, 100.0 / n)
+        """,
+        # stateful streaming sessionize: oracle = the batch gap rule
+        # (epoch-second bounds; same 1800s gap as the engine)
+        "q_stream_sessionize": """
+            WITH e AS (
+              -- floor, not round: Spark's long cast truncates sub-second
+              SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+              FROM events
+            ), g AS (
+              SELECT user_id, t,
+                     CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), s AS (
+              SELECT user_id, t,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            )
+            SELECT user_id,
+                   CAST(min(t) AS BIGINT) AS session_start,
+                   CAST(max(t) AS BIGINT) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         # PII redaction: pattern chain generated from PII_PATTERNS
         "q_redact_pii": f"""

@@ -1,0 +1,221 @@
+"""Custom STATEFUL streaming sessionization via
+``applyInPandasWithState`` — the arbitrary-stateful-operator tier of
+Structured Streaming, beyond what watermarked windows/dedup can
+express (a session's extent is data-dependent: it closes only when the
+event-time watermark passes ``last_event + gap``).
+
+Reference parity: the reference's Sessionize is a custom stateful
+generator over a sorted partition (Sessionize.scala — SURVEY.md §2.7);
+the batch re-expression lives in ``operators/sessionize.py``. This
+module is the STREAMING form of the same gap rule, with state that a
+100 TB deployment can actually run:
+
+- grouped on the session key, so state lives on the shuffle partition
+  that owns the key — executor-count scalable like every other stage;
+- per-key state = the event-time buffer of the OPEN horizon only:
+  every closed session is emitted and its events dropped from state the
+  moment the watermark passes ``session_end + gap``. State size is
+  ∝ rate × (watermark delay + gap) per key, independent of stream
+  length — the same bound dropDuplicatesWithinWatermark gives dedup.
+- late rows beyond the watermark are dropped by Spark before the
+  function runs (append-mode stateful contract), so the gap rule never
+  sees an event that could reopen an already-emitted session: emission
+  is exactly-once per session.
+
+Event-time semantics (same rule as the batch operator): events for a
+key, sorted by event time, belong to one session while each successive
+gap is <= ``gap``; a larger gap starts a new session. Out-of-order
+arrivals WITHIN the watermark horizon are handled exactly: events
+buffer in state and sessionization happens on the sorted buffer at
+every evaluation, so arrival order never changes the result — the
+drained output is bit-equal to the batch operator on the same data
+(pinned by test and by the driver-contract oracle).
+
+Bounded-drain flush: same sentinel trick as ``streaming/windowed.py``
+— two late-mtime sentinel files advance the watermark past every real
+session's ``last + gap`` so the final open sessions time out and emit.
+On an unbounded stream arriving data advances the watermark
+continuously and no sentinel is needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType([StructField("buf", ArrayType(LongType()))])
+
+
+def _out_schema(key_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("session_start", LongType()),  # epoch seconds
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+
+def _split_sessions(ts_sorted: list[int], gap_s: int) -> list[tuple[int, int, int]]:
+    """Gap rule over SORTED epoch-second timestamps ->
+    (start, end, n_events) per session."""
+    out = []
+    start = prev = ts_sorted[0]
+    n = 1
+    for t in ts_sorted[1:]:
+        if t - prev > gap_s:
+            out.append((start, prev, n))
+            start, n = t, 0
+        prev = t
+        n += 1
+    out.append((start, prev, n))
+    return out
+
+
+def _make_fn(gap_s: int):
+    """The per-key stateful kernel. State is one row: the sorted open
+    event-time buffer. Closed sessions (watermark past end+gap) are
+    emitted and their events dropped from the buffer — state holds the
+    open horizon only."""
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(int(v) for v in pdf["__evt_s"])
+        if not buf:
+            state.remove()
+            return
+        buf.sort()
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        sessions = _split_sessions(buf, gap_s)
+        closed = [s for s in sessions if s[1] + gap_s <= wm_s]
+        kept = [s for s in sessions if s[1] + gap_s > wm_s]
+        if kept:
+            keep_from = kept[0][0]  # sessions are time-ordered
+            state.update(([t for t in buf if t >= keep_from],))
+            # wake when the watermark can close the oldest open session
+            state.setTimeoutTimestamp((kept[0][1] + gap_s) * 1000)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]] * len(closed),
+                    "session_start": [s[0] for s in closed],
+                    "session_end": [s[1] for s in closed],
+                    "n_events": [s[2] for s in closed],
+                }
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    src_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    delay: str | None = None,
+    files_per_trigger: int = 4,
+    progress: list | None = None,
+) -> DataFrame:
+    """Drain ``src_dir`` (parquet) as a stream and emit every closed
+    session ``(key, session_start, session_end, n_events)`` through a
+    file sink (no driver-side result collect). ``delay`` is the
+    watermark horizon; default covers the directory's full event-time
+    span so no real row is ever late and the drained result is
+    bit-equal to the batch gap rule — production streams would set the
+    real disorder bound instead (state shrinks accordingly)."""
+    gap_s = gap_minutes * 60
+    static = spark.read.parquet(src_dir)
+    lo, hi = (
+        static.agg(
+            F.min(F.col(ts_col).cast("timestamp")), F.max(F.col(ts_col).cast("timestamp"))
+        ).collect()[0]
+    )
+    if delay is None:
+        span_s = int((hi - lo).total_seconds()) + 1
+        delay = f"{span_s} seconds"
+
+    # stage source files + two flush sentinels with later mtimes (the
+    # file source orders by mtime — see streaming/windowed.py)
+    srcd = tempfile.mkdtemp(prefix="stream-sess-src-")
+    data_files = [
+        os.path.join(os.path.abspath(src_dir), fn)
+        for fn in sorted(os.listdir(src_dir))
+        if fn.endswith(".parquet")
+    ]
+    for i, f in enumerate(data_files):
+        os.symlink(f, os.path.join(srcd, f"data-{i}.parquet"))
+    ts_type = static.schema[ts_col].dataType.simpleString()
+    base_mtime = max(os.path.getmtime(os.path.join(srcd, p)) for p in os.listdir(srcd))
+    # sentinel #1 pushes the watermark past every real last+gap;
+    # sentinel #2 triggers the batch whose watermark reflects #1
+    for i in range(2):
+        sent = static.limit(1).withColumn(
+            ts_col,
+            (
+                F.lit(hi)
+                + F.expr(f"INTERVAL {delay}")
+                + F.expr(f"INTERVAL {2 * gap_s + 3600 * (i + 1)} SECONDS")
+            ).cast(ts_type),
+        ).withColumn(key_col, F.lit(-1).cast(static.schema[key_col].dataType))
+        sdir = tempfile.mkdtemp(prefix="stream-sess-sent-")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
+        dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
+        os.rename(os.path.join(sdir, part), dst)
+        t = base_mtime + 10 + i * 10
+        os.utime(dst, (t, t))
+
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(srcd)
+    )
+    events = (
+        src.withColumn("__evt", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__evt", delay)
+        .withColumn("__evt_s", F.col("__evt").cast("long"))
+        .select(key_col, "__evt", "__evt_s")
+    )
+    out_schema = _out_schema("k")
+    sessions = events.groupBy(F.col(key_col)).applyInPandasWithState(
+        _make_fn(gap_s),
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream-sess-sink-")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-sess-ckpt-"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if progress is not None:
+        progress.extend(json.loads(p.json) for p in q.recentProgress)
+    return (
+        spark.read.schema(out_schema).parquet(out_dir)
+        .filter(F.col("k") >= 0)  # sentinel key is -1
+        .withColumnRenamed("k", key_col)
+    )

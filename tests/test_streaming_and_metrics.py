@@ -283,3 +283,93 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for so in p.get("stateOperators", [])
     )
     assert evicted > 0, "watermark must evict dedup state"
+
+
+def test_streaming_sessionize_equals_batch_gap_rule(spark, tmp_path):
+    """applyInPandasWithState sessionization drained over a multi-file
+    arrival order must be BIT-EQUAL to the batch gap rule on the same
+    events (same sessions, same bounds, same counts) — out-of-order
+    arrival across micro-batches included, since events buffer in state
+    and sessionize on the sorted buffer."""
+    import pandas as pd
+
+    from audience_behavior_semantic_etl_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts")
+    )
+    srcd = str(tmp_path / "src")
+    # repartition WITHOUT ordering: files interleave times, so
+    # micro-batches genuinely arrive out of event-time order
+    ev.repartition(6).write.parquet(srcd)
+
+    out = streaming_sessionize(
+        spark, srcd, key_col="user_id", ts_col="ts", gap_minutes=30,
+        files_per_trigger=2,
+    ).toPandas()
+
+    pdf = ev.toPandas()
+    pdf["t"] = pdf["ts"].astype("datetime64[s]").astype("int64")
+    expected = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = sorted(g["t"])
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > 1800:
+                expected.append((uid, start, prev, n))
+                start, n = t, 0
+            prev = t
+            n += 1
+        expected.append((uid, start, prev, n))
+    want = pd.DataFrame(
+        expected, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+    key = ["user_id", "session_start"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64")
+    )
+
+
+def test_streaming_sessionize_state_is_bounded(spark, tmp_path):
+    """With a SHORT watermark horizon, closed sessions must leave the
+    state store as the stream drains (state ∝ open horizon, not
+    history): the number of state rows reported by the final progress
+    events must be far below the total session count."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from audience_behavior_semantic_etl_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts")
+        .orderBy("ts")  # in-order arrival => a short horizon drops nothing
+    )
+    srcd = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(srcd)
+    n_users = ev.select("user_id").distinct().count()
+
+    progress: list = []
+    out = streaming_sessionize(
+        spark, srcd, key_col="user_id", ts_col="ts", gap_minutes=30,
+        delay="10 minutes", files_per_trigger=1, progress=progress,
+    )
+    assert out.count() > 0
+    state_rows = [
+        op.get("numRowsTotal", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    ]
+    assert state_rows, "no state-operator metrics reported"
+    # the sentinel flush must have evicted everything but the sentinel
+    # key's own state
+    assert state_rows[-1] <= 2, state_rows
+    assert max(state_rows) <= n_users + 1
