@@ -363,6 +363,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.1)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN profile (operators.dedup.span_dedup_stats):
+    every 8-token window hashed in one codegen pass, corpus-wide
+    occurrence counts on the uniform span hash, per-doc duplicated
+    fraction — the fixed-width distributed analog of suffix-array
+    substring dedup ('train on unique text'), localizing WHICH passage
+    repeats instead of dropping whole documents. Oracle recomputes the
+    identical windows/hashes/counts."""
+    from audience_behavior_semantic_etl_spark.operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_count=2
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition gate (operators.text.repetition_score):
+    1 - distinct/total 3-gram windows per doc — the looping-text
+    quality signal, map-only Column algebra, zero shuffle."""
+    from audience_behavior_semantic_etl_spark.operators.text import (
+        repetition_score,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    staged = docs.withColumn("__toks", tokens(F.col("text")))
+    return staged.select(
+        "doc_id", "lang", repetition_score(F.col("__toks"), 3).alias("repetition")
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.dedup import minhash_lsh_candidates
 
@@ -1521,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rename_nested": q_rename_nested,
         "q_threshold_sample": q_threshold_sample,
         "q_stream_sessionize": q_stream_sessionize,
+        "q_span_dedup": q_span_dedup,
+        "q_repetition": q_repetition,
     }
 
 
@@ -2002,6 +2035,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) >= 0.1
+        """,
+        # duplicated 8-token spans: identical windows/hashes/counts
+        "q_span_dedup": f"""
+            WITH {_TOK_CTE},
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 8
+                          THEN list_transform(range(1, len(toks) - 6),
+                                 i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))
+                          ELSE CAST([] AS VARCHAR[]) END AS ws
+              FROM tok),
+            ex AS (SELECT doc_id, unnest(ws) AS h FROM w),
+            c AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2)
+            SELECT ex.doc_id,
+                   count(*) AS n_windows,
+                   CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_windows,
+                   round(CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 4) AS dup_fraction
+            FROM ex LEFT JOIN c ON ex.h = c.h
+            GROUP BY ex.doc_id
+        """,
+        # intra-doc 3-gram repetition: 1 - distinct/total windows
+        "q_repetition": f"""
+            WITH {_TOK_CTE}
+            SELECT doc_id, lang,
+                   CASE WHEN len(toks) >= 3
+                        THEN round(1.0 - CAST(len(list_distinct(
+                               list_transform(range(1, greatest(len(toks) - 1, 2)),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+                             AS DOUBLE) / greatest(len(toks) - 2, 1), 4)
+                        ELSE 0.0 END AS repetition
+            FROM (SELECT t.doc_id, t.toks, d.lang
+                  FROM tok t JOIN documents d ON t.doc_id = d.doc_id)
         """,
         "q_dedup_minhash_lsh": f"""
             WITH {_TOK_CTE}, {_SHINGLE_CTE},

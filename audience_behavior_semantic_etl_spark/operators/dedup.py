@@ -151,6 +151,99 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def window_hashes(t: Column, k: int) -> Column:
+    """md5 hash of EVERY k-token window (all positions, duplicates
+    kept — unlike ``shingles_from_tokens`` this is positional, not a
+    set). Built with slice-inside-transform so the whole pass stays in
+    codegen; a doc with fewer than k tokens has no windows. Same
+    performance contract as shingles_from_tokens: ``t`` must be a
+    materialized column reference."""
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 20, min_count: int = 2
+) -> DataFrame:
+    """Exact duplicated-SPAN detection — the distributed, fixed-width
+    analog of suffix-array substring dedup for training corpora
+    ("train on unique text": verbatim-repeated passages get memorized
+    disproportionately). Finds every k-token window whose exact text
+    occurs ``min_count``+ times corpus-wide and returns one row per
+    occurrence: (id, pos, span_hash, n_occurrences, n_docs).
+
+    Shape at scale: windows are hashed in ONE codegen pass per doc
+    (O(n_tokens·k) work, no Python), exploded with positions, counted
+    by a hash-aggregate on the uniform 128-bit span hash, and
+    re-joined to occurrences on that same key — two shuffles on
+    uniform keys, no self-join on documents, output bounded by actual
+    duplication. Unlike MinHash (whole-doc similarity) this localizes
+    WHICH passage is duplicated, so downstream can cut spans rather
+    than drop documents."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    ex = toks.select(
+        "id", F.posexplode(window_hashes(F.col("toks"), k)).alias("pos", "h")
+    )
+    counts = (
+        ex.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.approx_count_distinct("id").alias("__nd"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        # exact doc count only for the (rare) surviving spans
+        .drop("__nd")
+    )
+    dup = ex.join(counts, "h")
+    ndocs = dup.groupBy("h").agg(F.count_distinct("id").alias("n_docs"))
+    return (
+        dup.join(ndocs, "h")
+        .select(
+            F.col("id").alias(id_col), "pos", F.col("h").alias("span_hash"),
+            "n_occurrences", "n_docs",
+        )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 20, min_count: int = 2
+) -> DataFrame:
+    """Per-document duplicated-span profile over ``duplicated_spans``:
+    (id, n_windows, n_dup_windows, dup_fraction). Documents shorter
+    than k tokens have no windows and are excluded (the fraction is
+    undefined). A curation pipeline gates on dup_fraction the same way
+    it gates on contamination."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    ex = toks.select(
+        "id", F.posexplode(window_hashes(F.col("toks"), k)).alias("pos", "h")
+    )
+    counts = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("h")
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        ex.join(counts, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(F.sum("__dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_windows") / F.col("n_windows"), 4)
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -124,6 +124,27 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(c)
 
 
+def repetition_score(toks: Column, k: int = 3) -> Column:
+    """Intra-document repetition: 1 - distinct_k_gram_windows /
+    total_k_gram_windows over the token array — 0 for fully novel
+    text, approaching 1 for looping/boilerplate text (the standard
+    repeated-n-gram quality gate for LLM corpora; cross-document span
+    duplication is operators.dedup.duplicated_spans). ``toks`` must be
+    a MATERIALIZED tokens column (shingles_from_tokens performance
+    contract). Documents with fewer than k tokens score 0."""
+    n = F.size(toks)
+    total = F.greatest(n - k + 1, F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), total), lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    return F.when(
+        n >= k,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(wins)).cast("double") / total, 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full profile. Tokens are materialized ONCE at a
     projection boundary — inlining ``tokens(text)`` into every metric
