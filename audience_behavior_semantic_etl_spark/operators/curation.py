@@ -66,24 +66,35 @@ def contamination_stats(
     ONE corpus pass: because ``shingled`` emits DISTINCT shingles per
     document, size(sh) equals the exploded row count, so n_shingles and
     n_contaminated come out of the SAME explode -> broadcast-left-join
-    -> groupBy — no second consumer, hence no ``.persist()`` and no
-    session-lifetime cache leak (an earlier two-consumer version
-    persisted the row-heavy shingle frame for the session lifetime —
-    the row-cache pressure hazard CLAUDE.md documents).
+    -> groupBy.
+
+    Cache discipline (measured, sf0.1): the shingle frame MUST be
+    persisted before the explode — Spark re-evaluates a Generate's
+    expensive input array per OUTPUT row, and neither an exchange nor
+    expression restructuring prevents it (explode-over-unpersisted ran
+    31.6 s vs 1.1 s persisted; a repartition barrier still ran 28.2 s).
+    To avoid the session-lifetime row-cache leak the persist would
+    otherwise create (the concurrency-collapse hazard CLAUDE.md
+    documents), the per-doc AGGREGATE — bounded at one 3-column row
+    per document — is materialized eagerly inside this call and the
+    row-heavy shingle cache is dropped before returning. The returned
+    frame is cached; callers composing it further may ``unpersist()``
+    it when done.
     """
-    bench_sh = shingled(benchmark, bench_text_col or text_col, id_col, k)
+    # the benchmark side pays the same Generate blowup unpersisted —
+    # same barrier, same lifetime (dropped after the pass below)
+    bench_sh = shingled(benchmark, bench_text_col or text_col, id_col, k).persist()
     bench_set = (
         bench_sh.select(F.explode("sh").alias("s"))
         .select(F.xxhash64("s").alias("s"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    ex = (
-        shingled(corpus, text_col, id_col, k)
-        .select("id", F.explode("sh").alias("s"))
-        .select("id", F.xxhash64("s").alias("s"))
+    corp_sh = shingled(corpus, text_col, id_col, k).persist()
+    ex = corp_sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("s")
     )
-    return (
+    stats = (
         ex.join(F.broadcast(bench_set), "s", "left")
         .groupBy("id")
         .agg(
@@ -94,7 +105,12 @@ def contamination_stats(
             "contamination", F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
         )
         .withColumnRenamed("id", id_col)
+        .persist()
     )
+    stats.count()  # one pass: builds the caches, then the big ones go
+    corp_sh.unpersist()
+    bench_sh.unpersist()
+    return stats
 
 
 def decontaminate(
