@@ -276,7 +276,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("size_b"))
-    return (
+    out = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -289,11 +289,18 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .persist()
     )
+    # eager materialize (pairs are output-sized), then drop the
+    # row-heavy shingle cache — no session-lifetime leak
+    out.count()
+    sh_df.unpersist()
+    return out
 
 
 def lsh_candidates_from_shingled(
-    sh_df: DataFrame, n_bands: int, rows_per_band: int
+    sh_df: DataFrame, n_bands: int, rows_per_band: int,
+    caches: list | None = None,
 ) -> DataFrame:
     """Candidate pairs from an already-shingled ``(id, sh)`` frame —
     the banding core shared by ``minhash_lsh_candidates`` and
@@ -308,7 +315,12 @@ def lsh_candidates_from_shingled(
     unmaterialized shingle expression makes Catalyst inline the whole
     tokenize+shingle subtree into BOTH the predicate and the hash
     projection — doubling the hottest expression (measured 1 s → 32 s
-    on the LSH query at sf0.1)."""
+    on the LSH query at sf0.1).
+
+    ``caches``, when given, collects the frame this helper persists so
+    the caller can ``unpersist()`` it once the returned (lazy) pairs
+    have been materialized — the cache-lifetime discipline the public
+    operators apply (see minhash_lsh_candidates / near_dedup_pairs)."""
     hs = sh_df.select("id", shingle_hashes(F.col("sh")).alias("hs"))
     sig = hs.select("id", minhash_signature(F.col("hs"), n_bands * rows_per_band).alias("sig"))
     # Persist the (small) banded keys: the self-join consumes them twice,
@@ -316,6 +328,8 @@ def lsh_candidates_from_shingled(
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     ).persist()
+    if caches is not None:
+        caches.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -343,9 +357,18 @@ def minhash_lsh_candidates(
     # definition); predicate never touches the shingle expression, so
     # nothing is double-evaluated (see lsh_candidates_from_shingled)
     clean = df.filter(F.col(text_col).rlike("[a-zA-Z0-9]"))
-    return lsh_candidates_from_shingled(
-        shingled(clean, text_col, id_col, k), n_bands, rows_per_band
-    )
+    # Cache lifetime: the candidate set is output-sized — materialize it
+    # eagerly, then drop the internal banded-key cache so nothing
+    # row-heavy outlives the call (the returned frame stays cached;
+    # callers may unpersist it when done).
+    caches: list = []
+    out = lsh_candidates_from_shingled(
+        shingled(clean, text_col, id_col, k), n_bands, rows_per_band, caches=caches
+    ).persist()
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def near_dedup_pairs(
@@ -372,17 +395,22 @@ def near_dedup_pairs(
     Scale shape: |candidates| is output-sized, not n². The two
     verification joins broadcast-or-shuffle candidate ids against the
     shingle table; the shingle table is computed ONCE (persisted) and
-    feeds both the banding and the verification sides."""
+    feeds both the banding and the verification sides. Cache lifetime:
+    the verified-pairs result (output-sized) is materialized eagerly
+    and every row-heavy intermediate cache (shingle table, banded
+    keys) is dropped before returning — no session-lifetime leak; the
+    returned frame stays cached and callers may unpersist it."""
     sh_df = shingled(df, text_col, id_col, k).persist()
     # size filter over the PERSISTED frame reads the materialized
     # column — no re-evaluation (see lsh_candidates_from_shingled)
+    caches: list = [sh_df]
     cand = lsh_candidates_from_shingled(
-        sh_df.filter(F.size("sh") > 0), n_bands, rows_per_band
+        sh_df.filter(F.size("sh") > 0), n_bands, rows_per_band, caches=caches
     )
     a = sh_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("__n_common", inter)
@@ -396,7 +424,12 @@ def near_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", "n_bands_hit")
+        .persist()
     )
+    out.count()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def near_dedup(
