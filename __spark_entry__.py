@@ -985,6 +985,65 @@ def q_session_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval RANGE join (operators.joins.range_join): events
+    against 40 deterministic one-hour maintenance windows (every 6 h
+    from 2024-01-01). The naive form is a theta join Spark plans as a
+    nested loop; the operator bin-buckets both sides so the pair space
+    collapses to an equi-join on the bin key with the containment
+    predicate as a post-match residual — no cross product (plan-pinned).
+    Oracle: DuckDB's native inequality join over the same windows."""
+    from audience_behavior_semantic_etl_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    base = 1704067200  # epoch of 2024-01-01 00:00:00 UTC
+    iv = (
+        spark.range(40)
+        .select(
+            F.col("id").cast("int").alias("iid"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 21600).alias("start_ts"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 21600 + 3600).alias("end_ts"),
+        )
+    )
+    pairs = range_join(ev, iv, "ts", "start_ts", "end_ts", bin_seconds=3600)
+    return pairs.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous-aggregate rollup
+    (operators.rollup.hypertable_rollup): hour AND day buckets per
+    event_type from ONE scan + ONE shuffle via GROUPING SETS (Expand
+    carries both granularities' partials through a single exchange) —
+    the hypertable/timeseries-DB shape, vs the reference's one
+    scan+shuffle per cube. Decimal-accumulated sum per the A2 contract.
+    Oracle: DuckDB GROUPING SETS over the same epoch-aligned buckets."""
+    from audience_behavior_semantic_etl_spark.operators.rollup import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = hypertable_rollup(
+        ev,
+        "ts",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(
+                F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 2
+            ),
+        },
+        granularities=["hour", "day"],
+        keys=["event_type"],
+    )
+    return out.select(
+        "granularity",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 raw JSON ingestion (sources.json_ingest): the reference's
     gzip-JSON entry point (AcmeDailyETL.scala:382-383) with an EXPLICIT
@@ -1496,8 +1555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversion_two_level": q_conversion_two_level,
         "q_rollup_revenue": q_rollup_revenue,
         "q_pivot_event_types": q_pivot_event_types,
-        "q_window_topk_per_group": q_window_topk_per_group,
-        "q_ntile_users": q_ntile_users,
         "q_ntile_scalable": q_ntile_scalable,
         # CDC merge semantics (north_star kernel over oracle-visible data)
         "q_cdc_lww_apply": q_cdc_lww_apply,
@@ -1543,9 +1600,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessionize": q_stream_sessionize,
         "q_span_dedup": q_span_dedup,
         "q_repetition": q_repetition,
+        "q_range_join": q_range_join,
+        "q_hypertable_rollup": q_hypertable_rollup,
         # --- position 51+: long-stable trivial queries with two rounds
         # of green driver rows; still run by pytest oracle parity ---
         "q_case_like_enrich": q_case_like_enrich,
+        "q_window_topk_per_group": q_window_topk_per_group,
+        "q_ntile_users": q_ntile_users,
         "q_join_left_outer": q_join_left_outer,
         "q_join_semi_anti": q_join_semi_anti,
         "q_projection_datetime": q_projection_datetime,
@@ -2478,6 +2539,41 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) d
             JOIN c USING (s)
             WHERE u < least(1.0, 100.0 / n)
+        """,
+        # range join: native inequality join over the same 40 windows
+        "q_range_join": """
+            WITH iv AS (
+              SELECT CAST(i AS INTEGER) AS iid,
+                     TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR AS start_ts,
+                     TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 6 HOUR
+                       + INTERVAL 1 HOUR AS end_ts
+              FROM range(40) t(i))
+            SELECT iid, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM iv JOIN events e
+              ON CAST(e.ts AS TIMESTAMP) >= iv.start_ts
+             AND CAST(e.ts AS TIMESTAMP) < iv.end_ts
+            GROUP BY iid
+        """,
+        # hypertable rollup: GROUPING SETS over epoch-aligned buckets
+        "q_hypertable_rollup": """
+            WITH e AS (
+              SELECT event_type, value,
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+              FROM events),
+            b AS (
+              SELECT event_type, value,
+                     to_timestamp(sec - sec % 3600)  AT TIME ZONE 'UTC' AS bh,
+                     to_timestamp(sec - sec % 86400) AT TIME ZONE 'UTC' AS bd
+              FROM e)
+            SELECT CASE WHEN GROUPING(bh) = 0 THEN 'hour' ELSE 'day' END AS granularity,
+                   strftime(CASE WHEN GROUPING(bh) = 0 THEN bh ELSE bd END,
+                            '%Y-%m-%d %H:%M:%S') AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS sum_value
+            FROM b
+            GROUP BY GROUPING SETS ((bh, event_type), (bd, event_type))
         """,
         # stateful streaming sessionize: oracle = the batch gap rule
         # (epoch-second bounds; same 1800s gap as the engine)

@@ -135,3 +135,65 @@ def as_of_join(
     return carried.filter(F.col("__is_left") == 1).select(
         *lcols, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols]
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval RANGE join: every (point, interval) pair with
+    ``start <= ts < end`` — the other classic temporal join Spark lacks
+    natively (the naive form is a pure theta join, planned as a
+    broadcast-nested-loop / cartesian: O(|points| x |intervals|)).
+
+    Scale shape (the standard bin-bucketing trick): timestamps bin at
+    ``bin_seconds``; each interval explodes into the bins it covers,
+    each point keeps its single bin, and the pair space collapses to an
+    EQUI-join on the bin key with the exact containment predicate
+    evaluated as a cheap post-match residual. One shuffle on uniform
+    bin keys; cost is O(points + interval_bins + true_matches), never
+    the cross product. A plan test pins the no-nested-loop shape.
+
+    Pick ``bin_seconds`` near the median interval length: too small
+    explodes long intervals into many bins; too large degrades bin
+    selectivity (more residual filtering). Intervals spanning B bins
+    appear B times pre-filter, but each (point, interval) pair meets in
+    EXACTLY one bin (the point's), so no post-join dedup is needed.
+
+    ``how='inner'`` returns matches; ``how='left'`` keeps unmatched
+    points with null interval columns (matching DuckDB's LEFT JOIN
+    oracle shape).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner|left, got {how!r}")
+    pt = F.col("__pts").cast("long")
+    p = points.withColumn("__pts", F.col(point_ts).cast("timestamp")).withColumn(
+        "__bin", F.floor(pt / bin_seconds)
+    )
+    s = F.col(start_col).cast("timestamp").cast("long")
+    e = F.col(end_col).cast("timestamp").cast("long")
+    # empty/inverted intervals match nothing — and must not reach
+    # F.sequence, whose auto-negative step would fabricate bins
+    iv = intervals.filter(e > s).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(s / bin_seconds),
+                # end is EXCLUSIVE: an interval ending exactly on a bin
+                # boundary does not cover that bin
+                F.floor((e - 1) / bin_seconds),
+            )
+        ),
+    )
+    cond = (
+        (p["__bin"] == iv["__bin"])
+        & (F.col("__pts") >= F.col(start_col).cast("timestamp"))
+        & (F.col("__pts") < F.col(end_col).cast("timestamp"))
+    )
+    joined = p.join(iv, cond, how)
+    return joined.drop("__pts").drop(p["__bin"]).drop(iv["__bin"])

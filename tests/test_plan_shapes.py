@@ -118,3 +118,23 @@ def test_training_mix_is_one_shuffle(spark):
     p = _plan(spark, "q_training_mix")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Expand" not in p, "countDistinct-style expand leaked back in"
+
+
+def test_range_join_no_nested_loop(spark):
+    """The bin-bucketed range join must plan as an equi join on the bin
+    key (hash/sort-merge), never the cartesian/nested-loop the naive
+    theta form degenerates to."""
+    p = _plan(spark, "q_range_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_hypertable_rollup_single_scan_single_shuffle(spark):
+    """All granularities come from ONE scan + ONE aggregation exchange
+    via GROUPING SETS (Expand), not a union of per-granularity jobs."""
+    p = _plan(spark, "q_hypertable_rollup")
+    # count tree nodes only (the formatted detail section repeats names)
+    assert p.count("+- Scan parquet") == 1, "grouping sets must share one scan"
+    assert "Expand" in p
+    # exactly one aggregation exchange (AQE may add a read, not a new one)
+    assert p.count("+- Exchange") == 1
+    assert "Union" not in p
