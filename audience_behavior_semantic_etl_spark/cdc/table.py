@@ -627,6 +627,31 @@ class SnapshotTable:
             buckets, purge_tombstones_below_lsn=below_lsn, shuffle_partitions=shuffle_partitions
         )
 
+    def startup_maintenance(
+        self, keep_versions: int = 3, staging_grace_seconds: float = 3600.0
+    ) -> dict:
+        """Resume-time housekeeping for a process that may have crashed
+        anywhere — including the window between a background
+        compaction's commit and the next apply (the shape pinned by
+        test_crash_window_between_compaction_commit_and_next_apply):
+        run GC inside the staging grace window (live-manifest files and
+        fresh staging dirs are untouchable by construction), then
+        report the table state the resumed stream starts from. The
+        per-app exactly-once ledger makes re-delivered batches no-op,
+        so callers just run this and restart the stream."""
+        deleted = self.gc_orphans(
+            keep_versions=keep_versions, staging_grace_seconds=staging_grace_seconds
+        )
+        m = self.manifest()
+        return {
+            "version": m.version,
+            "snapshot_id": m.snapshot_id,
+            "deleted_orphans": len(deleted),
+            "committed_batches": {
+                app: int(b) for app, b in m.properties.get("committed_batches", {}).items()
+            },
+        }
+
     def gc_orphans(
         self, keep_versions: int = 3, staging_grace_seconds: float = 3600.0
     ) -> list[str]:

@@ -52,3 +52,21 @@ from audience_behavior_semantic_etl_spark.operators.text import (  # noqa: F401
     redact_pii,
     text_profile,
 )
+from audience_behavior_semantic_etl_spark.operators.joins import (  # noqa: F401
+    as_of_join,
+    range_join,
+)
+from audience_behavior_semantic_etl_spark.operators.rollup import (  # noqa: F401
+    hypertable_rollup,
+    time_bucket,
+)
+from audience_behavior_semantic_etl_spark.operators.dedup import (  # noqa: F401
+    duplicated_spans,
+    span_dedup_stats,
+)
+from audience_behavior_semantic_etl_spark.operators.curation import (  # noqa: F401
+    threshold_stratified_sample,
+)
+from audience_behavior_semantic_etl_spark.operators.text import (  # noqa: F401
+    repetition_score,
+)
