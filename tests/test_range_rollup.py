@@ -131,3 +131,33 @@ def test_cdc_startup_maintenance_reports_resume_state(spark, tmp_path):
     assert rep["version"] == v
     assert rep["committed_batches"]["app-x"] == 0
     assert t2.read_final().count() == 2
+
+
+def test_range_join_property_matches_bruteforce(spark):
+    """Randomized check: bin-bucketed range join == brute-force
+    containment over random points/intervals, across bin widths that
+    divide, straddle, and dwarf the interval lengths."""
+    import random
+
+    rnd = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+    pts = [(i, base + dt.timedelta(seconds=rnd.randrange(0, 400_000))) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        s = rnd.randrange(0, 380_000)
+        ln = rnd.choice([0, 1, 59, 3600, 7201, 90_000])
+        ivs.append((j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + ln)))
+    pdf = spark.createDataFrame(pts, "pid long, ts timestamp")
+    idf = spark.createDataFrame(ivs, "iid long, start_ts timestamp, end_ts timestamp")
+    want = {
+        (p, i)
+        for p, t in pts
+        for i, s, e in ivs
+        if s <= t < e
+    }
+    for bin_s in (60, 3600, 86_400):
+        got = {
+            (r["pid"], r["iid"])
+            for r in range_join(pdf, idf, "ts", "start_ts", "end_ts", bin_s).collect()
+        }
+        assert got == want, f"bin_seconds={bin_s}"
