@@ -1336,6 +1336,41 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 quality gates COMPOSED: cross-document duplicated-
+    span profile (operators.dedup.span_dedup_stats, k=8) left-joined
+    back to the corpus (sub-k docs pass vacuously) + intra-document
+    repetition (operators.text.repetition_score, k=3), rolled up per
+    language as keep/flag counts — the 'cut repeated text' curation
+    decision table. The oracle recomposes both gates and the join, so
+    their interaction is part of the checked contract."""
+    from audience_behavior_semantic_etl_spark.operators.dedup import span_dedup_stats
+    from audience_behavior_semantic_etl_spark.operators.text import (
+        repetition_score,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    spans = span_dedup_stats(docs, "text", "doc_id", k=8, min_count=2).select(
+        "doc_id", "dup_fraction"
+    )
+    gated = (
+        docs.join(spans, "doc_id", "left")
+        .withColumn("__toks", tokens(F.col("text")))
+        .withColumn("rep", repetition_score(F.col("__toks"), 3))
+        .withColumn("span_ok", F.coalesce(F.col("dup_fraction"), F.lit(0.0)) < 0.3)
+        .withColumn("rep_ok", F.col("rep") < 0.3)
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("span_ok"), 1).otherwise(0)).cast("bigint").alias("n_span_flagged"),
+        F.sum(F.when(~F.col("rep_ok"), 1).otherwise(0)).cast("bigint").alias("n_rep_flagged"),
+        F.sum(F.when(F.col("span_ok") & F.col("rep_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination (operators.curation
     .contamination_stats): docs with doc_id % 20 == 0 play the held-out
@@ -1621,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collect_paths": q_collect_paths,
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
+        "q_quality_gates": q_quality_gates,
     }
 
 
@@ -2123,6 +2159,49 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_fraction
             FROM ex LEFT JOIN c ON ex.h = c.h
             GROUP BY ex.doc_id
+        """,
+        # composed span + repetition gates per language
+        "q_quality_gates": f"""
+            WITH {_TOK_CTE},
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 8
+                          THEN list_transform(range(1, len(toks) - 6),
+                                 i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))
+                          ELSE CAST([] AS VARCHAR[]) END AS ws
+              FROM tok),
+            ex AS (SELECT doc_id, unnest(ws) AS h FROM w),
+            c AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+            spans AS (
+              -- round like the engine's dup_fraction so the 0.3 gate
+              -- can't diverge at the 4th decimal
+              SELECT ex.doc_id,
+                     round(CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 4) AS dupf
+              FROM ex LEFT JOIN c ON ex.h = c.h
+              GROUP BY ex.doc_id),
+            rep AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN round(1.0 - CAST(len(list_distinct(
+                                 list_transform(range(1, greatest(len(toks) - 1, 2)),
+                                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+                               AS DOUBLE) / greatest(len(toks) - 2, 1), 4)
+                          ELSE 0.0 END AS r
+              FROM tok),
+            gated AS (
+              SELECT d.lang,
+                     coalesce(spans.dupf, 0.0) < 0.3 AS span_ok,
+                     rep.r < 0.3 AS rep_ok
+              FROM documents d
+              LEFT JOIN spans ON d.doc_id = spans.doc_id
+              JOIN rep ON d.doc_id = rep.doc_id)
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN NOT span_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_span_flagged,
+                   CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_flagged,
+                   CAST(sum(CASE WHEN span_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM gated GROUP BY lang
         """,
         # intra-doc 3-gram repetition: 1 - distinct/total windows
         "q_repetition": f"""
