@@ -44,6 +44,7 @@ and drop the single-file write (SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -64,8 +65,15 @@ def bucket_expr(conv_col, n_buckets: int):
 def _safe_dirname(s: str) -> str:
     """App ids become directory components (quarantine layout); replace
     anything path-hostile so an id like 'etl/prod' can't escape the
-    _quarantine tree."""
-    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in s) or "_"
+    _quarantine tree. When sanitization ALTERS the id, append a short
+    stable hash of the raw id so distinct ids that sanitize identically
+    (e.g. 'etl/prod' vs 'etl_prod') keep DISJOINT directories —
+    otherwise overwrite-mode quarantine writes with overlapping batch
+    ids would clobber each other across apps."""
+    safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in s) or "_"
+    if safe != s:
+        safe += "-" + hashlib.md5(s.encode("utf-8")).hexdigest()[:8]
+    return safe
 
 
 @dataclass

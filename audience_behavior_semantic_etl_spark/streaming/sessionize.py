@@ -100,15 +100,26 @@ def _make_fn(gap_s: int):
             state.remove()
             return
         buf.sort()
-        wm_s = state.getCurrentWatermarkMs() // 1000
+        # STRICT millisecond compare: Spark's late-row filter admits rows
+        # with event time == watermark, so an event arriving at exactly
+        # t == end+gap (== watermark) can still extend this session under
+        # the batch gap rule (which breaks only on gaps > gap). Closing
+        # with <= on floored seconds would emit the session one event too
+        # early — a boundary event would then open a SECOND session,
+        # breaking bit-equality with the batch operator. Close only when
+        # the watermark has strictly passed end+gap, matching the
+        # EventTimeTimeout fire condition.
+        wm_ms = state.getCurrentWatermarkMs()
         sessions = _split_sessions(buf, gap_s)
-        closed = [s for s in sessions if s[1] + gap_s <= wm_s]
-        kept = [s for s in sessions if s[1] + gap_s > wm_s]
+        closed = [s for s in sessions if (s[1] + gap_s) * 1000 < wm_ms]
+        kept = [s for s in sessions if (s[1] + gap_s) * 1000 >= wm_ms]
         if kept:
             keep_from = kept[0][0]  # sessions are time-ordered
             state.update(([t for t in buf if t >= keep_from],))
-            # wake when the watermark can close the oldest open session
-            state.setTimeoutTimestamp((kept[0][1] + gap_s) * 1000)
+            # wake when the watermark can close the oldest open session;
+            # a kept session exactly AT the boundary must not set a
+            # timeout <= watermark (Spark rejects it) — bump past it.
+            state.setTimeoutTimestamp(max((kept[0][1] + gap_s) * 1000, wm_ms + 1))
         else:
             state.remove()
         if closed:
@@ -140,7 +151,13 @@ def streaming_sessionize(
     watermark horizon; default covers the directory's full event-time
     span so no real row is ever late and the drained result is
     bit-equal to the batch gap rule — production streams would set the
-    real disorder bound instead (state shrinks accordingly)."""
+    real disorder bound instead (state shrinks accordingly).
+
+    CONSTRAINT: ``key_col`` values must be NON-NEGATIVE. The bounded-
+    drain flush injects sentinel rows under key ``-1`` and the final
+    read filters ``key >= 0`` to strip them; a deployment whose key
+    domain includes negative values must remap keys first (or replace
+    the sentinel mechanism with a marker column)."""
     gap_s = gap_minutes * 60
     static = spark.read.parquet(src_dir)
     lo, hi = (

@@ -38,12 +38,27 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    stream_split: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()  # drop per-query persists (e.g. jaccard)
+        # Streaming queries: split per-batch ENGINE time (recentProgress
+        # durationMs) from harness overhead (availableNow trigger floors,
+        # source staging, sink re-read) so wall-time noise on a shared
+        # host can't mask a real engine regression.
+        prog = getattr(entrymod, "STREAM_PROGRESS", {}).get(name)
+        if prog:
+            trig_ms = sum(p.get("durationMs", {}).get("triggerExecution", 0) for p in prog)
+            add_ms = sum(p.get("durationMs", {}).get("addBatch", 0) for p in prog)
+            stream_split[name] = {
+                "engine_sec": round(trig_ms / 1000.0, 3),
+                "add_batch_sec": round(add_ms / 1000.0, 3),
+                "harness_sec": round(max(timings[name] - trig_ms / 1000.0, 0.0), 3),
+                "n_batches": len(prog),
+            }
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -51,6 +66,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stream_split": stream_split,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
     }

@@ -692,3 +692,20 @@ def test_crash_window_between_compaction_commit_and_next_apply(spark, tmp_path):
     # the stream continues; final state converges to the full oracle
     apply_batch(_envelope_df(spark, batches[2]), t2, 2, cfg)
     check_equal(table_to_pandas(t2), oracle)
+
+
+def test_safe_dirname_distinct_apps_stay_disjoint():
+    """Sanitization must keep path-hostile-but-distinct app ids in
+    DISJOINT quarantine directories: 'etl/prod' and 'etl_prod' collide
+    under plain character replacement, which would let overwrite-mode
+    quarantine writes with overlapping batch ids clobber across apps."""
+    from audience_behavior_semantic_etl_spark.cdc.table import _safe_dirname
+
+    a, b = _safe_dirname("etl/prod"), _safe_dirname("etl_prod")
+    assert a != b
+    assert "/" not in a and ".." not in a
+    # clean ids are unchanged (existing layouts keep their paths)
+    assert _safe_dirname("etl_prod") == "etl_prod"
+    assert _safe_dirname("app-1.x") == "app-1.x"
+    # sanitization is deterministic
+    assert _safe_dirname("etl/prod") == a

@@ -373,3 +373,73 @@ def test_streaming_sessionize_state_is_bounded(spark, tmp_path):
     # key's own state
     assert state_rows[-1] <= 2, state_rows
     assert max(state_rows) <= n_users + 1
+
+
+class _FakeGroupState:
+    """Minimal GroupState stub for driving the sessionize kernel
+    directly — lets the watermark-BOUNDARY case be pinned
+    deterministically (forcing a real stream to trigger with the
+    watermark exactly at end+gap is timing-fragile)."""
+
+    def __init__(self, buf=None, wm_ms=0):
+        self.exists = buf is not None
+        self._buf = buf or []
+        self.hasTimedOut = False
+        self._wm = wm_ms
+        self.updated = None
+        self.removed = False
+        self.timeout = None
+
+    @property
+    def get(self):
+        return (self._buf,)
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = ms
+
+
+def test_sessionize_kernel_watermark_boundary():
+    """Spark's late-row filter ADMITS rows with event time == watermark,
+    so a session whose end+gap equals the current watermark must stay
+    OPEN (a boundary event could still extend it under the batch rule's
+    strict > gap break); it closes only when the watermark strictly
+    passes end+gap. Also: a kept boundary session must not set a timeout
+    <= watermark (Spark rejects that)."""
+    import pandas as pd
+
+    from audience_behavior_semantic_etl_spark.streaming.sessionize import _make_fn
+
+    gap_s = 1800
+    fn = _make_fn(gap_s)
+    buf = [1000, 2000]  # one session, end=2000, end+gap=3800
+
+    # watermark EXACTLY at (end+gap): must not close, timeout > wm
+    st = _FakeGroupState(buf=list(buf), wm_ms=3_800_000)
+    out = list(fn(("k",), iter([]), st))
+    assert out == [], "session at the boundary must stay open"
+    assert st.updated == (buf,)
+    assert st.timeout is not None and st.timeout > 3_800_000
+
+    # watermark one ms PAST the boundary: closes, state removed
+    st2 = _FakeGroupState(buf=list(buf), wm_ms=3_800_001)
+    out2 = list(fn(("k",), iter([]), st2))
+    assert len(out2) == 1 and st2.removed
+    row = out2[0].iloc[0]
+    assert (row["session_start"], row["session_end"], row["n_events"]) == (1000, 2000, 2)
+
+    # a boundary event ARRIVING at t == end+gap == watermark merges into
+    # the open session (gap == gap is NOT a break under the batch rule)
+    st3 = _FakeGroupState(buf=list(buf), wm_ms=3_800_000)
+    batch = pd.DataFrame({"__evt_s": [3800]})
+    out3 = list(fn(("k",), iter([batch]), st3))
+    assert out3 == [], "merged session is still open"
+    assert st3.updated == ([1000, 2000, 3800],)
