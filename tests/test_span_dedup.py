@@ -97,3 +97,50 @@ def test_split_sessions_matches_naive_reference(ts, gap):
     assert sum(n for _, _, n in got) == len(ts)
     for (s1, e1, _), (s2, _, _) in zip(got, got[1:]):
         assert s2 - e1 > gap and s1 <= e1 <= s2
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must produce the same partition as a
+    brute-force union-find on randomized graphs — including chains
+    (worst-case diameter), isolated pairs, and the a-c/b-c shape where
+    the greedy keep-smallest survivor rule would keep two docs of one
+    transitive cluster."""
+    import random
+
+    from audience_behavior_semantic_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(1, 3), (2, 3)]  # greedy-vs-cluster divergence shape
+    edges += [(10 + i, 11 + i) for i in range(6)]  # chain, diameter 6
+    nodes = list(range(100, 140))
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # brute-force union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    # normalize to min-id representative
+    comp_min = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[find(x)] for x in parent}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got_df = connected_components(df, "id_a", "id_b")
+    got = {r["node"]: r["component"] for r in got_df.collect()}
+    got_df.unpersist()
+    assert got == want
