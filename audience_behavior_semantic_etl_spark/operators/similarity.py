@@ -49,6 +49,54 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def quantize_embeddings(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Symmetric per-vector INT8 quantization of an embedding column —
+    the storage/IO lever for 100 TB embedding tables: int8 vectors are
+    4x smaller than float32 on disk and over the network, and ANN
+    re-ranking on dequantized values loses little recall at this
+    precision. Map-only Column algebra, zero shuffle.
+
+    Per vector: ``scale = 127 / max(|v|)`` (1.0 for all-zero vectors),
+    ``q_i = clamp(round(v_i * scale), -127, 127)``. Output one row per
+    vector: (id, q array<int>, scale, n_sat saturated components,
+    recon_err = l2 of v - q/scale). Rounding is HALF-AWAY-FROM-ZERO on
+    both engines (Spark HALF_UP == DuckDB round), and every fold runs
+    in array order with double accumulation, so the quantized values
+    are bit-reproducible by the SQL oracle."""
+    out = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    amax = F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(F.lit(127.0) / amax)
+    out = out.withColumn("__s", scale)
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x.cast("double") * F.col("__s")).cast("int")),
+        ),
+    )
+    out = out.withColumn("q", q)
+    recon = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__v"),
+                F.col("q"),
+                lambda x, qq: F.pow(
+                    x.cast("double") - qq.cast("double") / F.col("__s"), F.lit(2.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return out.select(
+        id_col,
+        "q",
+        F.col("__s").alias("scale"),
+        F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127)).alias("n_sat"),
+        recon.alias("recon_err"),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
