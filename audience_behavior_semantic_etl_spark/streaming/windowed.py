@@ -123,3 +123,115 @@ def tumbling_window_counts(
     return spark.read.schema(agg.schema).parquet(out_dir).filter(
         F.col(key_col) != "__flush__"
     )
+
+
+def stream_static_enrich_counts(
+    spark: SparkSession,
+    src_dir: str,
+    dim: DataFrame,
+    key_col: str,
+    dim_key_col: str,
+    label_col: str,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    watermark: str | None = None,
+    progress: list | None = None,
+) -> DataFrame:
+    """STREAM-STATIC enrichment: the stream joins a small static
+    dimension (read once, BROADCAST into every micro-batch — Structured
+    Streaming's stream-static join, the streaming form of the
+    reference's enrich-then-aggregate chain), then counts per (tumbling
+    event-time window, dimension label) in append mode with
+    watermark-evicted state and a file sink.
+
+    The stream arrives over MULTIPLE micro-batches in arbitrary
+    event-time order, so the default watermark covers the directory's
+    full event-time span (no real row is ever late and the drained
+    result equals the batch join+GROUP BY — production streams set the
+    real disorder bound instead, shrinking state accordingly; same
+    contract as streaming_sessionize). The join is LEFT OUTER with a
+    final label-not-null filter (== inner-join semantics): an INNER
+    join would let Catalyst push its join-key IS NOT NULL filter below
+    the EventTimeWatermark node to the scan, killing the NULL-key flush
+    sentinels BEFORE they can advance event time — the windows would
+    then never close and the drain would emit nothing. With the outer
+    join the sentinels survive to the watermark tracker (their label
+    stays NULL and the final filter drops them from the output). The
+    dim never enters the state store."""
+    static = spark.read.parquet(src_dir)
+    lo, hi = static.agg(
+        F.min(F.col(ts_col).cast("timestamp")), F.max(F.col(ts_col).cast("timestamp"))
+    ).collect()[0]
+    max_ts = hi
+    span_s = int((hi - lo).total_seconds()) + 1
+    if watermark is None:
+        watermark = f"{span_s} seconds"
+    # sentinels must sit past watermark-delay + window_len so every
+    # real window's end precedes the advanced watermark and flushes
+    flush_hours = span_s // 3600 + 3
+
+    srcd = tempfile.mkdtemp(prefix="stream-enrich-src-")
+    data_files = [
+        os.path.join(os.path.abspath(src_dir), fn)
+        for fn in sorted(os.listdir(src_dir))
+        if fn.endswith(".parquet")
+    ]
+    for i, f in enumerate(data_files):
+        os.symlink(f, os.path.join(srcd, f"data-{i}.parquet"))
+    ts_type = static.schema[ts_col].dataType.simpleString()
+    key_type = static.schema[key_col].dataType
+    base_mtime = max(os.path.getmtime(os.path.join(srcd, p)) for p in os.listdir(srcd))
+    for i, hours in enumerate((flush_hours, flush_hours + 1)):
+        sent = (
+            static.limit(1)
+            .withColumn(
+                ts_col,
+                (F.lit(max_ts) + F.expr(f"INTERVAL {int(hours)} HOURS")).cast(ts_type),
+            )
+            .withColumn(key_col, F.lit(None).cast(key_type))
+        )
+        sdir = tempfile.mkdtemp(prefix="stream-enrich-sent-")
+        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
+        dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
+        os.rename(os.path.join(sdir, part), dst)
+        t = base_mtime + 10 + i * 10
+        os.utime(dst, (t, t))
+
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max(1, len(data_files) // 2))
+        .parquet(srcd)
+        .withColumn("__evt", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__evt", watermark)
+    )
+    joined = src.join(
+        F.broadcast(dim), src[key_col] == dim[dim_key_col], "left_outer"
+    )
+    agg = (
+        joined.groupBy(F.window("__evt", window_len).alias("w"), F.col(label_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col(label_col),
+            F.col("n_events"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream-enrich-sink-")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-enrich-ckpt-"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if progress is not None:
+        progress.extend(json.loads(p.json) for p in q.recentProgress)
+    # label NULL = sentinel rows (and any unmatched stream key) — the
+    # filter restores inner-join semantics
+    return (
+        spark.read.schema(agg.schema).parquet(out_dir)
+        .filter(F.col(label_col).isNotNull())
+    )
