@@ -1761,6 +1761,41 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/join.py): views and
+    purchases arrive as two live streams over multiple micro-batches;
+    a purchase matches a view with the same user within 30 minutes
+    after it. Both sides hash-shuffle on user_id, state bounded by
+    watermark + the 30-min range, matches emitted exactly once in the
+    micro-batch that completes the pair (the streaming form of the
+    reference's goals-to-pageviews time-theta attribution join,
+    AcmeGoalsETL.scala / J2). Oracle: the batch interval join."""
+    import os
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.streaming.join import (
+        stream_stream_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    srcd = tempfile.mkdtemp(prefix="ss-join-q-")
+    ev.repartition(4).write.mode("overwrite").parquet(srcd)
+    parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
+    base = max(os.path.getmtime(os.path.join(srcd, p)) for p in parts)
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(srcd, p), (base + i, base + i))
+    prog = STREAM_PROGRESS["q_stream_stream_join"] = []
+    return stream_stream_interval_join(
+        spark, srcd,
+        key_col="user_id", ts_col="ts",
+        left_filter="event_type = 'view'",
+        right_filter="event_type = 'purchase'",
+        range_seconds=1800,
+        extra_cols=("event_id",),
+        progress=prog,
+    )
+
+
 def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot isolation / time travel over the REAL engine: the events
     change log is applied in TWO batches to a SnapshotTable; after both
@@ -2110,7 +2145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_embedding_dups": q_embedding_dups,
         # enrichment UDFs (U1/U2/U12) + metric layers (M5)
-        "q_enrich_geoip": q_enrich_geoip,
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
@@ -2119,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_flags": q_session_flags,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
         "q_stream_enrich": q_stream_enrich,  # new round-4
+        "q_stream_stream_join": q_stream_stream_join,  # new round-4
         # --- positions 36-50: need a hard driver CORRECTNESS row ---
         # round-2 additions the round-2 harness never reached
         "q_stream_dedup": q_stream_dedup,
@@ -2154,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_enrich_useragent": q_enrich_useragent,
+        "q_enrich_geoip": q_enrich_geoip,
         "q_session_window_native": q_session_window_native,
         "q_multimodal_features": q_multimodal_features,
         "q_frame_sample_plan": q_frame_sample_plan,
@@ -3184,6 +3220,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
             GROUP BY 1, 2
+        """,
+        # stream-stream interval join: finished availableNow result ==
+        # the batch interval join (end-inclusive BETWEEN range)
+        "q_stream_stream_join": """
+            SELECT a.user_id,
+                   strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS l_ts,
+                   strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS r_ts,
+                   a.event_id AS l_event_id,
+                   b.event_id AS r_event_id
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1800 SECONDS
+            WHERE a.event_type = 'view' AND b.event_type = 'purchase'
         """,
         # streaming dedup with a whole-span horizon: finished availableNow
         # result == the exact distinct key set
