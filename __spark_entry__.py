@@ -931,6 +931,77 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-THEN-TAIL BOOTSTRAP through the REAL engine
+    (cdc/apply.py bootstrap_snapshot) — how a CDC pipeline starts
+    against an existing source: a consistent snapshot of the LWW state
+    at snap_lsn = 3/5 of the log is initial-loaded (reusing the full
+    normalize->bucket->commit apply path, rows stamped lsn=snap_lsn),
+    then an OVERLAPPING tail (everything above snap_lsn/2, i.e.
+    at-least-once re-delivery of a pre-snapshot slice) is applied in
+    two batches. The durable snapshot-LSN fence drops the overlap, so
+    re-delivered pre-snapshot inserts cannot resurrect keys deleted
+    before the snapshot (the snapshot carries no tombstones — only the
+    fence protects this). Both the bootstrap and a tail batch are also
+    re-applied and must no-op (exactly-once dedup). Oracle: LWW over
+    the FULL log, with the final per-row lsn pinned to
+    max(winner_lsn, snap_lsn) — snapshot-loaded rows carry the
+    snapshot LSN, tail-won rows their true LSN."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import (
+        ApplyConfig,
+        apply_batch,
+        bootstrap_snapshot,
+    )
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("int").alias("turn_idx"),
+        (F.col("event_type") == "error").alias("is_del"),
+        F.col("event_type").alias("text"),
+    )
+    snap_lsn = int(ev.agg(F.max("lsn")).collect()[0][0]) * 3 // 5
+    snapshot = (
+        drop_duplicate_rows_ordered(
+            ev.filter(F.col("lsn") <= snap_lsn),
+            ["conv_id", "turn_idx"],
+            [F.col("lsn").desc()],
+        )
+        .filter(~F.col("is_del"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tail = env.filter(F.col("lsn") > snap_lsn // 2)
+    tmp = tempfile.mkdtemp(prefix="cdc-boot-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-boot", auto_compact=False, shuffle_partitions=8)
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    assert not bootstrap_snapshot(snapshot, table, snap_lsn, cfg).skipped
+    assert bootstrap_snapshot(snapshot, table, snap_lsn, cfg).skipped  # crash-resume
+    apply_batch(tail.filter(F.pmod(F.col("lsn"), F.lit(2)) == 0), table, 0, cfg)
+    apply_batch(tail.filter(F.pmod(F.col("lsn"), F.lit(2)) == 1), table, 1, cfg)
+    assert apply_batch(  # whole-batch re-delivery no-ops
+        tail.filter(F.pmod(F.col("lsn"), F.lit(2)) == 0), table, 0, cfg
+    ).skipped
+    final = table.read(with_deleted=True)
+    return final.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).select(
+        "conv_id", "turn_idx", "text", F.col("_lsn").cast("long").alias("lsn")
+    )
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch LINEAGE and per-source-part WATERMARKS as a checked
     contract row (the north_rule's 'per-partition lineage + metrics').
@@ -2106,15 +2177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_quality_gates (round-3, pytest-parity only so far) plus the new
     # round-4 CDC rows (q_cdc_schema_evolution / q_cdc_quarantine /
     # q_cdc_stream_replay / q_cdc_lineage / q_cdc_maintenance /
-    # q_cdc_changelog, positions 11-16 with the CDC cluster),
+    # q_cdc_changelog / q_cdc_bootstrap, with the CDC cluster),
     # q_dedup_clusters and q_embed_quantize (with the dedup/embedding
-    # cluster), q_stream_enrich (with the streaming cluster),
-    # q_enrich_flatten and q_ann_ivf_refine (positions 48-50). To make
-    # room, 12 stable rows with 2-3 green driver rounds each rotated to
-    # the tail this round (q_dedup_simhash, q_dedup_minhash_lsh,
-    # q_dedup_ngram_jaccard, q_json_ingest, q_pivot_event_types,
-    # q_ntile_scalable, q_rollup_revenue, q_conversion_two_level,
-    # q_session_window_native, q_enrich_useragent,
+    # cluster), q_stream_enrich and q_stream_stream_join (with the
+    # streaming cluster), q_enrich_flatten and q_ann_ivf_refine
+    # (positions 49-50). To make room, 14 stable rows with 2-3 green
+    # driver rounds each rotated to the tail this round
+    # (q_dedup_simhash, q_dedup_minhash_lsh, q_dedup_ngram_jaccard,
+    # q_json_ingest, q_pivot_event_types, q_ntile_scalable,
+    # q_rollup_revenue, q_conversion_two_level, q_session_window_native,
+    # q_enrich_useragent, q_enrich_geoip, q_embedding_dups,
     # q_multimodal_features, q_frame_sample_plan — the swap the
     # round-3 verdict asked for); the tail stays covered by the pytest
     # oracle-parity replica (tests/test_oracle_parity.py, ALL queries,
@@ -2136,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_lineage": q_cdc_lineage,  # new round-4
         "q_cdc_maintenance": q_cdc_maintenance,  # new round-4
         "q_cdc_changelog": q_cdc_changelog,  # new round-4
+        "q_cdc_bootstrap": q_cdc_bootstrap,  # new round-4
         # training-data pipeline ops
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
@@ -2143,7 +2216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,  # new round-4
         "q_embed_quantize": q_embed_quantize,  # new round-4
         "q_ann_cosine_topk": q_ann_cosine_topk,
-        "q_embedding_dups": q_embedding_dups,
         # enrichment UDFs (U1/U2/U12) + metric layers (M5)
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -2181,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: stable queries with green driver rows from
         # earlier rounds; still run by pytest oracle parity ---
         "q_dedup_simhash": q_dedup_simhash,
+        "q_embedding_dups": q_embedding_dups,
         "q_json_ingest": q_json_ingest,
         "q_pivot_event_types": q_pivot_event_types,
         "q_ntile_scalable": q_ntile_scalable,
@@ -3239,6 +3312,25 @@ def oracle_sql() -> dict[str, str]:
         # result == the exact distinct key set
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # snapshot-then-tail bootstrap: snapshot state at snap_lsn +
+        # fenced overlapping tail == LWW over the FULL log; rows whose
+        # winner predates the snapshot carry the snapshot LSN
+        "q_cdc_bootstrap": """
+            WITH s AS (SELECT (max(event_id) * 3) // 5 AS snap FROM events),
+            base AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     event_type AS text,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_id AS lsn,
+                     row_number() OVER (PARTITION BY user_id, event_id % 7
+                                        ORDER BY event_id DESC) AS rn
+              FROM events)
+            SELECT b.conv_id, b.turn_idx, b.text,
+                   CAST(CASE WHEN b.lsn <= s.snap THEN s.snap ELSE b.lsn END
+                        AS BIGINT) AS lsn
+            FROM base b, s WHERE b.rn = 1 AND b.is_del = 0
         """,
         # time travel: LWW state as of commit one == LWW over the
         # batch-one subset of the log

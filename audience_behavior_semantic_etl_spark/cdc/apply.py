@@ -350,6 +350,18 @@ def apply_batch(
     if table.is_batch_committed(cfg.app_id, batch_id):
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, 0.0, -1, -1, skipped=True)
 
+    # Snapshot-LSN fence (bootstrap_snapshot): events at or below the
+    # initial-load snapshot LSN are already reflected in the table and
+    # MUST be dropped — the snapshot carries no tombstones, so a
+    # re-delivered pre-snapshot insert of a since-deleted key would
+    # otherwise resurrect it whenever the matching delete is not
+    # re-delivered with it (see bootstrap_snapshot's docstring for the
+    # exact hazard taxonomy). A plain pushed-down scan filter; the
+    # overlapping part of an at-least-once tail costs one predicate.
+    fence = table.manifest().properties.get("snapshot_lsn")
+    if fence is not None:
+        events_raw = events_raw.filter(F.col("lsn") > int(fence))
+
     # SPOOL the batch to columnar parquet once, and run every job off
     # the spool. Two reasons, both measured:
     # (1) in streaming mode the source hands foreachBatch a ROW-BASED
@@ -686,3 +698,79 @@ def apply_batch(
             _shutil.rmtree(spool, ignore_errors=True)
         if stats is not None:
             stats.unpersist()
+
+
+# The one-time snapshot load commits as batch 0 under its own app-id
+# channel (f"{app_id}#bootstrap"), so it cannot collide with the tail's
+# batch numbering — and cannot reuse a negative sentinel, because the
+# exactly-once ledger treats "nothing committed" as -1.
+BOOTSTRAP_APP_SUFFIX = "#bootstrap"
+
+
+def bootstrap_snapshot(
+    snapshot_df: DataFrame,
+    table: SnapshotTable,
+    snapshot_lsn: int,
+    cfg: ApplyConfig | None = None,
+) -> BatchMetrics:
+    """One-time INITIAL LOAD for snapshot-then-tail CDC bootstrap — the
+    standard way a CDC pipeline starts against an existing source: take
+    one consistent snapshot at a known WAL position, load it, then tail
+    the WAL from (at or before) that position.
+
+    Contract: ``snapshot_df`` holds table-shaped LIVE rows as of
+    ``snapshot_lsn`` — one row per (conv_id, turn_idx), no tombstones,
+    no per-row versions — exactly what a consistent source read or a
+    backup restore provides. The load reuses the full proven apply path
+    (normalize -> bucket -> stage -> exactly-once commit) by wrapping
+    the rows as insert envelopes stamped ``lsn = snapshot_lsn``; a
+    bespoke bulk-write path would just be a second, less-tested writer.
+
+    Once the load commits, ``snapshot_lsn`` is recorded as a durable
+    table property, and every subsequent ``apply_batch`` FENCES the
+    tail: events with ``lsn <= snapshot_lsn`` are dropped at the scan,
+    making ANY overlapping re-delivery of pre-snapshot events a no-op.
+    What the fence buys, precisely: a snapshot load cannot tombstone
+    keys deleted before it was taken, so a re-delivered pre-snapshot
+    insert of a since-deleted key has nothing to lose against. A
+    contiguous-suffix overlap still converges without the fence (the
+    later delete is re-delivered too and wins LWW) — but (a) an
+    arbitrary-SUBSET redelivery (unordered chunk replay, partial
+    re-listing: the old insert re-sent, the delete's chunk already
+    acked) resurrects the key in the FINAL state — pinned by
+    test_bootstrap_fence_blocks_resurrection's negative control; (b)
+    even the contiguous case serves the ghost row to readers between
+    the insert's batch and the delete's batch; and (c) tailing from
+    LSN 0 without a fence makes the first batch O(history) instead of
+    O(new). The fence closes all three for one pushed-down predicate.
+
+    Idempotent / crash-safe: re-running after a crash skips the
+    committed load (batch-0 dedup under the ``{app_id}#bootstrap``
+    ledger channel) and re-records the fence property, so the bootstrap
+    is complete exactly when this function returns — resume logic can
+    call it unconditionally.
+    """
+    cfg = cfg or ApplyConfig()
+    cols = [n for n, _ in table.manifest().columns]
+    payload_cols = [c for c in cols if c not in ("conv_id", "turn_idx")]
+    ts_col = (
+        F.col("ts").cast("timestamp_ntz")
+        if "ts" in payload_cols
+        else F.lit(None).cast("timestamp_ntz")
+    )
+    env = snapshot_df.select(
+        F.lit(int(snapshot_lsn)).cast("long").alias("lsn"),
+        ts_col.alias("ts"),
+        F.lit("insert").alias("op"),
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.to_json(F.struct(*[F.col(c) for c in payload_cols])).alias("payload"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.lit(0).cast("int").alias("source_part"),
+    )
+    import dataclasses
+
+    boot_cfg = dataclasses.replace(cfg, app_id=cfg.app_id + BOOTSTRAP_APP_SUFFIX)
+    metrics = apply_batch(env, table, 0, boot_cfg)
+    table.set_property("snapshot_lsn", int(snapshot_lsn))
+    return metrics

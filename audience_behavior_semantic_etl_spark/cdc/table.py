@@ -508,6 +508,25 @@ class SnapshotTable:
 
         return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
 
+    def set_property(self, key: str, value: Any) -> None:
+        """Commit a single table-property mutation as its own manifest
+        version (lock-serialized, data files untouched). Used for
+        durable control-plane facts that must survive restarts — e.g.
+        the bootstrap snapshot-LSN fence (`apply.bootstrap_snapshot`)."""
+
+        def run() -> None:
+            m = self.manifest()
+            m.properties[key] = value
+            m.parent = m.version
+            m.version += 1
+            m.snapshot_id = uuid.uuid4().hex
+            m.lineage.append(
+                {"op": "set_property", "key": key, "snapshot_id": m.snapshot_id}
+            )
+            self._write_manifest(m)
+
+        self._with_commit_lock(run)
+
     def _commit(
         self,
         mutate,

@@ -709,3 +709,97 @@ def test_safe_dirname_distinct_apps_stay_disjoint():
     assert _safe_dirname("app-1.x") == "app-1.x"
     # sanitization is deterministic
     assert _safe_dirname("etl/prod") == a
+
+
+# ------------------------------------------------------------ bootstrap
+
+def _boot_env(spark, rows):
+    """rows: (lsn, op, conv_id, turn_idx, text) -> envelope frame."""
+    import datetime
+
+    pdf = pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": datetime.datetime(2024, 1, 1, 0, 0, lsn % 60),
+                "op": op,
+                "conv_id": conv,
+                "turn_idx": turn,
+                "payload": "{}" if op == "delete" else json.dumps(
+                    {"role": "user", "text": text, "ts": "2024-01-01T00:00:00"}
+                ),
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, op, conv, turn, text in rows
+        ]
+    )
+    return _envelope_df(spark, pdf)
+
+
+def test_bootstrap_fence_blocks_resurrection(spark, tmp_path):
+    """A key deleted BEFORE the snapshot has no tombstone in the
+    snapshot. Under at-least-once delivery with NO per-key contiguity
+    guarantee (unordered WAL-chunk replay, partial re-listing), the
+    tail can re-send the key's old insert WITHOUT its later delete —
+    the delete's chunk was acked in a finished epoch. The snapshot-LSN
+    fence must drop the stray insert; WITHOUT the fence the key
+    demonstrably resurrects in the FINAL state (negative control),
+    proving the fence is load-bearing, not belt-and-braces. (A
+    contiguous-suffix overlap converges either way — LWW + the
+    redelivered tombstone — but only transiently-correctly: between the
+    insert's batch and the delete's batch readers see the ghost row.)"""
+    from audience_behavior_semantic_etl_spark.cdc.apply import bootstrap_snapshot
+
+    # full source history: a inserted @1, deleted @5; b @2; snapshot @6.
+    # The replayed subset below re-sends insert(a)@1 but NOT delete(a)@5.
+    snap_lsn = 6  # snapshot state: only b lives
+    snapshot = spark.createDataFrame(
+        [("b", 0, "user", "keep", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    tail = _boot_env(spark, [
+        (1, "insert", "a", 0, "doomed"),   # stray pre-snapshot redelivery
+        (9, "insert", "c", 0, "new"),      # genuine post-snapshot event
+    ])
+    cfg = ApplyConfig(app_id="boot", auto_compact=False, shuffle_partitions=4)
+
+    t1 = SnapshotTable.create(spark, str(tmp_path / "fenced"), n_buckets=4)
+    m = bootstrap_snapshot(snapshot, t1, snap_lsn, cfg)
+    assert not m.skipped and m.events == 1
+    assert t1.manifest().properties["snapshot_lsn"] == snap_lsn
+    apply_batch(tail, t1, 0, cfg)
+    got = {
+        (r.conv_id, r.turn_idx): r.text for r in t1.read_final().collect()
+    }
+    assert got == {("b", 0): "keep", ("c", 0): "new"}  # no resurrection
+
+    # negative control: identical load WITHOUT the fence property
+    t2 = SnapshotTable.create(spark, str(tmp_path / "unfenced"), n_buckets=4)
+    boot_env = _boot_env(spark, [(snap_lsn, "insert", "b", 0, "keep")])
+    load_cfg = ApplyConfig(app_id="plainload", auto_compact=False, shuffle_partitions=4)
+    apply_batch(boot_env, t2, 0, load_cfg)  # plain load, no fence recorded
+    apply_batch(tail, t2, 0, cfg)
+    keys2 = {(r.conv_id, r.turn_idx) for r in t2.read_final().collect()}
+    assert ("a", 0) in keys2  # the hazard is real
+
+
+def test_bootstrap_idempotent_resume(spark, tmp_path):
+    """Re-running bootstrap_snapshot (crash-resume contract) skips the
+    committed load and re-records the fence; tail batches re-applied
+    after it still no-op."""
+    from audience_behavior_semantic_etl_spark.cdc.apply import bootstrap_snapshot
+
+    snapshot = spark.createDataFrame(
+        [("x", 0, "user", "hello", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    cfg = ApplyConfig(app_id="boot2", auto_compact=False, shuffle_partitions=4)
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    assert not bootstrap_snapshot(snapshot, t, 10, cfg).skipped
+    assert bootstrap_snapshot(snapshot, t, 10, cfg).skipped
+    assert t.manifest().properties["snapshot_lsn"] == 10
+    tail = _boot_env(spark, [(11, "insert", "y", 1, "world")])
+    assert not apply_batch(tail, t, 0, cfg).skipped
+    assert apply_batch(tail, t, 0, cfg).skipped
+    assert {r.conv_id for r in t.read_final().collect()} == {"x", "y"}
