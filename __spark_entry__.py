@@ -1002,6 +1002,44 @@ def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
+    tables' changes interleaved (routes: even vs odd conversations);
+    each batch spools once and applies every route's slice to its own
+    table under per-table exactly-once ledgers. Batch 1 is also
+    re-delivered through the whole fan-out and must no-op on BOTH
+    tables. Output: union of both finals labeled by route. Oracle:
+    full-log LWW with the same route predicate — per-slice LWW equals
+    global LWW restricted to the slice because routing is by key."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig
+    from audience_behavior_semantic_etl_spark.cdc.fanout import apply_batch_fanout
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    even = F.pmod(F.col("conv_id").cast("long"), F.lit(2)) == 0
+    odd = ~even
+    tmp = tempfile.mkdtemp(prefix="cdc-fan-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = lambda app: ApplyConfig(app_id=app, auto_compact=False, shuffle_partitions=8)  # noqa: E731
+    ta = SnapshotTable.create(spark, f"{tmp}/even", n_buckets=8)
+    tb = SnapshotTable.create(spark, f"{tmp}/odd", n_buckets=8)
+    routes = {"even": (ta, even, cfg("fan")), "odd": (tb, odd, cfg("fan"))}
+    apply_batch_fanout(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), routes, 0)
+    apply_batch_fanout(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), routes, 1)
+    res = apply_batch_fanout(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), routes, 1)
+    assert res["even"].skipped and res["odd"].skipped  # exactly-once per table
+    return (
+        ta.read_final().select(F.lit("even").alias("route"), "conv_id", "turn_idx", "text")
+        .unionByName(
+            tb.read_final().select(F.lit("odd").alias("route"), "conv_id", "turn_idx", "text")
+        )
+    )
+
+
 def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch LINEAGE and per-source-part WATERMARKS as a checked
     contract row (the north_rule's 'per-partition lineage + metrics').
@@ -2252,6 +2290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_refine": q_ann_ivf_refine,  # new round-4
         # --- position 51+: stable queries with green driver rows from
         # earlier rounds; still run by pytest oracle parity ---
+        "q_cdc_fanout": q_cdc_fanout,  # new round-4, tail: rotates into
+        # the checked window next round (the first-50 slots are full of
+        # queries still needing their FIRST driver row)
         "q_dedup_simhash": q_dedup_simhash,
         "q_embedding_dups": q_embedding_dups,
         "q_json_ingest": q_json_ingest,
@@ -3312,6 +3353,22 @@ def oracle_sql() -> dict[str, str]:
         # result == the exact distinct key set
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # multi-table fan-out: per-route finals == full-log LWW with
+        # the route predicate (routing is by key, so per-slice LWW is
+        # global LWW restricted)
+        "q_cdc_fanout": """
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS route,
+                   conv_id, turn_idx, text
+            FROM (SELECT user_id,
+                         CAST(user_id AS VARCHAR) AS conv_id,
+                         CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                         event_type AS text,
+                         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                         row_number() OVER (PARTITION BY user_id, event_id % 7
+                                            ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND is_del = 0
         """,
         # snapshot-then-tail bootstrap: snapshot state at snap_lsn +
         # fenced overlapping tail == LWW over the FULL log; rows whose

@@ -803,3 +803,43 @@ def test_bootstrap_idempotent_resume(spark, tmp_path):
     assert not apply_batch(tail, t, 0, cfg).skipped
     assert apply_batch(tail, t, 0, cfg).skipped
     assert {r.conv_id for r in t.read_final().collect()} == {"x", "y"}
+
+
+# ------------------------------------------------------------ fan-out
+
+def test_fanout_crash_between_tables(spark, tmp_path):
+    """One WAL batch routed to two tables; crash after table A's
+    commit but before B's. Resume re-delivers the batch through the
+    fan-out: A skips via its ledger, B applies — both tables converge
+    with no cross-table transaction."""
+    from pyspark.sql import functions as F
+
+    from audience_behavior_semantic_etl_spark.cdc.fanout import apply_batch_fanout
+
+    rows = [
+        (1, "insert", "a0", 0, "ea"),
+        (2, "insert", "b1", 0, "ob"),
+        (3, "insert", "c2", 0, "ec"),
+        (4, "delete", "a0", 0, None),
+        (5, "insert", "b1", 1, "ob2"),
+    ]
+    env = _boot_env(spark, rows)
+    even = F.col("conv_id").isin("a0", "c2")
+    odd = F.col("conv_id").isin("b1")
+    ta = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=4)
+    tb = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=4)
+    ca = ApplyConfig(app_id="fan", auto_compact=False, shuffle_partitions=4)
+    cb = ApplyConfig(app_id="fan", auto_compact=False, shuffle_partitions=4)
+
+    # crash window: only table A's slice of batch 0 commits
+    apply_batch(env.filter(even), ta, 0, ca)
+
+    # resume: full fan-out re-delivery of batch 0
+    res = apply_batch_fanout(
+        env, {"A": (ta, even, ca), "B": (tb, odd, cb)}, 0
+    )
+    assert res["A"].skipped and not res["B"].skipped
+    got_a = {(r.conv_id, r.turn_idx): r.text for r in ta.read_final().collect()}
+    got_b = {(r.conv_id, r.turn_idx): r.text for r in tb.read_final().collect()}
+    assert got_a == {("c2", 0): "ec"}
+    assert got_b == {("b1", 0): "ob", ("b1", 1): "ob2"}
