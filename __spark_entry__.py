@@ -1002,6 +1002,79 @@ def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL UPDATES (sparse after-images) through the real engine —
+    the Debezium-style patch event / Hudi-Paimon partial-update merge
+    analog: every third non-delete event is ``op='update_partial'``
+    whose payload carries ONLY the columns it sets (even lsn: just
+    ``text``; odd lsn: ``role`` explicitly null + a ``tool`` value —
+    the explicit-null case is the point: presence comes from the
+    stored set-mask, never from value null-ness). Column-level fold
+    resolution (table._fold_resolve): each column's final value comes
+    from the highest-LSN version that SET it, full-row ops are bases
+    resetting every column, a stale patch below the latest base loses,
+    a patch above a tombstone cannot resurrect the key, orphan patches
+    (no base ever) vanish. Applied in two batches so patches cross the
+    batch/file boundary. Oracle: per-column row_number over the
+    candidate sets (NOT arg_max — DuckDB arg_max skips NULLs, which
+    would silently resurrect older values over explicit-null patches)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    is_del = F.col("event_type") == "error"
+    is_patch = ~is_del & (F.pmod(F.col("event_id"), F.lit(3)) == 0)
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    env = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("ts"),
+        F.when(is_del, F.lit("delete"))
+        .when(is_patch, F.lit("update_partial"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("int").alias("turn_idx"),
+        F.when(is_del, F.lit("{}"))
+        .when(
+            is_patch & even,
+            F.to_json(F.struct(F.col("event_type").alias("text"))),
+        )
+        .when(
+            is_patch & ~even,
+            # hand-built JSON: to_json DROPS null struct fields, and an
+            # explicit null is exactly what this patch must carry
+            F.concat(
+                F.lit('{"role": null, "tool": "p'),
+                F.pmod(F.col("event_id"), F.lit(5)).cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.col("event_type").alias("text"),
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+                )
+            )
+        )
+        .alias("payload"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("source_part"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-part-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-part", auto_compact=False, shuffle_partitions=8)
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg)
+    apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), table, 1, cfg)
+    assert table.manifest().properties.get("has_partial") is True
+    return table.read_final().select("conv_id", "turn_idx", "role", "text", "tool")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2213,20 +2286,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window opens with cheap stable queries (absorbing JVM/codegen
     # warm-up) and the 12 queries that still need a hard driver row —
     # q_quality_gates (round-3, pytest-parity only so far) plus the new
-    # round-4 CDC rows (q_cdc_schema_evolution / q_cdc_quarantine /
-    # q_cdc_stream_replay / q_cdc_lineage / q_cdc_maintenance /
-    # q_cdc_changelog / q_cdc_bootstrap, with the CDC cluster),
-    # q_dedup_clusters and q_embed_quantize (with the dedup/embedding
-    # cluster), q_stream_enrich and q_stream_stream_join (with the
-    # streaming cluster), q_enrich_flatten and q_ann_ivf_refine
-    # (positions 49-50). To make room, 14 stable rows with 2-3 green
+    # round-4 rows: the CDC cluster (q_cdc_schema_evolution /
+    # q_cdc_quarantine / q_cdc_stream_replay / q_cdc_lineage /
+    # q_cdc_maintenance / q_cdc_changelog / q_cdc_bootstrap /
+    # q_cdc_fanout / q_cdc_partial_update), q_dedup_clusters and
+    # q_embed_quantize (dedup/embedding cluster), q_stream_enrich and
+    # q_stream_stream_join (streaming cluster), q_enrich_flatten and
+    # q_ann_ivf_refine. To make room, 16 stable rows with 2-3 green
     # driver rounds each rotated to the tail this round
     # (q_dedup_simhash, q_dedup_minhash_lsh, q_dedup_ngram_jaccard,
     # q_json_ingest, q_pivot_event_types, q_ntile_scalable,
     # q_rollup_revenue, q_conversion_two_level, q_session_window_native,
     # q_enrich_useragent, q_enrich_geoip, q_embedding_dups,
-    # q_multimodal_features, q_frame_sample_plan — the swap the
-    # round-3 verdict asked for); the tail stays covered by the pytest
+    # q_multimodal_features, q_frame_sample_plan, q_as_of_join,
+    # q_ann_cosine_topk); the tail stays covered by the pytest
     # oracle-parity replica (tests/test_oracle_parity.py, ALL queries,
     # every run).
     return {
@@ -2247,18 +2320,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_maintenance": q_cdc_maintenance,  # new round-4
         "q_cdc_changelog": q_cdc_changelog,  # new round-4
         "q_cdc_bootstrap": q_cdc_bootstrap,  # new round-4
+        "q_cdc_fanout": q_cdc_fanout,  # new round-4
+        "q_cdc_partial_update": q_cdc_partial_update,  # new round-4
         # training-data pipeline ops
         "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
         "q_dedup_clusters": q_dedup_clusters,  # new round-4
         "q_embed_quantize": q_embed_quantize,  # new round-4
-        "q_ann_cosine_topk": q_ann_cosine_topk,
         # enrichment UDFs (U1/U2/U12) + metric layers (M5)
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
-        "q_as_of_join": q_as_of_join,
         "q_goal_attribution": q_goal_attribution,
         "q_session_flags": q_session_flags,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
@@ -2290,9 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_refine": q_ann_ivf_refine,  # new round-4
         # --- position 51+: stable queries with green driver rows from
         # earlier rounds; still run by pytest oracle parity ---
-        "q_cdc_fanout": q_cdc_fanout,  # new round-4, tail: rotates into
-        # the checked window next round (the first-50 slots are full of
-        # queries still needing their FIRST driver row)
+        "q_as_of_join": q_as_of_join,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_dedup_simhash": q_dedup_simhash,
         "q_embedding_dups": q_embedding_dups,
         "q_json_ingest": q_json_ingest,
@@ -2878,6 +2950,62 @@ def oracle_sql() -> dict[str, str]:
                    event_id AS lsn,
                    (event_type = 'error') AS deleted
             FROM events WHERE event_id % 5 = 0
+        """,
+        # Partial updates: column-level fold — per column, the value of
+        # the highest-lsn version that SET it (bases set every column;
+        # patches set their mask). row_number per column, NOT arg_max:
+        # arg_max skips NULLs and would resurrect older values over an
+        # explicit-null patch.
+        "q_cdc_partial_update": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     CASE WHEN event_type <> 'error' AND event_id % 3 = 0
+                          THEN 1 ELSE 0 END AS is_patch,
+                     CAST(event_id % 2 AS INTEGER) AS par,
+                     event_type
+              FROM events),
+            n AS (
+              SELECT lsn, conv_id, turn_idx, is_del, is_patch,
+                     CASE WHEN is_patch = 0 AND is_del = 0 THEN 'user' END AS role,
+                     CASE WHEN is_del = 1 THEN NULL
+                          WHEN is_patch = 1 AND par = 0 THEN event_type
+                          WHEN is_patch = 1 THEN NULL
+                          ELSE event_type END AS text,
+                     CASE WHEN is_patch = 1 AND par = 1
+                          THEN 'p' || CAST(lsn % 5 AS VARCHAR) END AS tool,
+                     CASE WHEN is_patch = 0 OR par = 1 THEN 1 ELSE 0 END AS sets_role,
+                     CASE WHEN is_patch = 0 OR par = 0 THEN 1 ELSE 0 END AS sets_text,
+                     CASE WHEN is_patch = 0 OR par = 1 THEN 1 ELSE 0 END AS sets_tool
+              FROM ev),
+            base AS (
+              SELECT conv_id, turn_idx FROM (
+                SELECT t.*, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                FROM n t WHERE is_patch = 0) u
+              WHERE rn = 1 AND is_del = 0),
+            wr AS (
+              SELECT conv_id, turn_idx, role FROM (
+                SELECT t.*, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                FROM n t WHERE sets_role = 1) u WHERE rn = 1),
+            wt AS (
+              SELECT conv_id, turn_idx, text FROM (
+                SELECT t.*, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                FROM n t WHERE sets_text = 1) u WHERE rn = 1),
+            wl AS (
+              SELECT conv_id, turn_idx, tool FROM (
+                SELECT t.*, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                FROM n t WHERE sets_tool = 1) u WHERE rn = 1)
+            SELECT b.conv_id, b.turn_idx, wr.role, wt.text, wl.tool
+            FROM base b
+            JOIN wr ON b.conv_id = wr.conv_id AND b.turn_idx = wr.turn_idx
+            JOIN wt ON b.conv_id = wt.conv_id AND b.turn_idx = wt.turn_idx
+            JOIN wl ON b.conv_id = wl.conv_id AND b.turn_idx = wl.turn_idx
         """,
         # Lineage: per-batch commit stats (batch 0 = lsn%5!=0, batch 1 =
         # lsn%5=0) + monotone per-source-part LSN watermarks, recomputed

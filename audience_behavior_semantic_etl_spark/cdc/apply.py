@@ -113,9 +113,10 @@ class ApplyConfig:
 
 def winners_schema(table: SnapshotTable) -> T.StructType:
     """Output schema of the normalizer: full (evolving) table row +
-    merge metadata (_lsn for read-side LWW, _deleted tombstones)."""
+    merge metadata (_lsn for read-side LWW, _deleted tombstones, _set
+    patch masks — null on full-row versions)."""
     cols = [(n, S.type_from_name(t)) for n, t in table.manifest().columns]
-    return S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
+    return S.transcripts_schema(cols, with_lsn=True, with_deleted=True, with_setmask=True)
 
 
 def _payload_paths(name: str) -> list[tuple[str, ...]]:
@@ -141,7 +142,7 @@ def _payload_parse_plan(
     ``normalize_envelope`` and ``malformed_predicate`` parse with the
     EXACT same record-strict schema — quarantine selection must agree
     row-for-row with what normalize drops."""
-    key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL}
+    key_meta = {"conv_id", "turn_idx", S.LSN_META_COL, S.DELETED_META_COL, S.SETMASK_META_COL}
     payload_fields = [f for f in out_schema.fields if f.name not in key_meta]
     direct = {f.name for f in payload_fields}
     nested: dict[str, dict[str, T.DataType]] = {}
@@ -242,6 +243,24 @@ def normalize_envelope(
             out_cols.append(F.col("lsn").alias(S.LSN_META_COL))
         elif f.name == S.DELETED_META_COL:
             out_cols.append(is_del.alias(S.DELETED_META_COL))
+        elif f.name == S.SETMASK_META_COL:
+            # sparse after-image (op='update_partial'): record WHICH
+            # top-level payload keys were present — a second parse of
+            # the same JSON as map<string,string> whose keys give
+            # presence (the struct parse cannot distinguish missing
+            # from explicit null). Partial payloads address FLAT target
+            # column names only (no dotted-flatten indirection — a
+            # patch is a write, not an ingest mapping). Full-row ops
+            # keep mask NULL = "sets every column" (a base).
+            names = F.array(*[F.lit(n) for n in specs])
+            mask = F.when(
+                F.col("op") == "update_partial",
+                F.array_intersect(
+                    F.map_keys(F.from_json(F.col("payload"), "map<string,string>")),
+                    names,
+                ),
+            )
+            out_cols.append(mask.alias(S.SETMASK_META_COL))
         else:
             exprs = [_path_col(p) for p in specs[f.name]]
             e = F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
@@ -402,6 +421,7 @@ def apply_batch(
                 F.min("lsn").alias("lsn_min"),
                 F.max("lsn").alias("lsn_max"),
                 F.sum(F.when(F.col("op") == "schema_change", 1).otherwise(0)).alias("n_sc"),
+                F.sum(F.when(F.col("op") == "update_partial", 1).otherwise(0)).alias("n_up"),
                 F.approx_count_distinct("turn_idx").alias("n_keys"),
             )
             .persist()
@@ -411,6 +431,7 @@ def apply_batch(
             F.min("lsn_min").alias("lsn_min"),
             F.max("lsn_max").alias("lsn_max"),
             F.sum("n_sc").alias("n_sc"),
+            F.sum("n_up").alias("n_up"),
             F.sum("n_keys").alias("n_keys"),
             # data rows with a NULL key: legal only for schema_change
             # (ENVELOPE_SCHEMA); a null-key upsert/delete can never be
@@ -448,7 +469,8 @@ def apply_batch(
         combined = (
             part_agg.select(
                 F.lit("part").alias("__kind"),
-                "source_part", "n", "lsn_min", "lsn_max", "n_sc", "n_keys", "n_nullkey",
+                "source_part", "n", "lsn_min", "lsn_max", "n_sc", "n_up", "n_keys",
+                "n_nullkey",
                 nulls.cast("int").alias("__b"),
                 nulls.cast("array<string>").alias("hot"),
             )
@@ -460,6 +482,7 @@ def apply_batch(
                     nulls.cast("long").alias("lsn_min"),
                     nulls.cast("long").alias("lsn_max"),
                     nulls.cast("long").alias("n_sc"),
+                    nulls.cast("long").alias("n_up"),
                     nulls.cast("long").alias("n_keys"),
                     nulls.cast("long").alias("n_nullkey"),
                     "__b",
@@ -473,6 +496,7 @@ def apply_batch(
         _phase("stats")
         n_events = sum(r["n"] for r in part_stats)
         n_sc = sum(r["n_sc"] for r in part_stats)
+        n_partial = sum(r["n_up"] for r in part_stats)
         if n_events == 0:
             snapshot = table.commit_append_deltas(
                 staged_dir=None,
@@ -526,8 +550,18 @@ def apply_batch(
         if n_nullkey > 0:  # quarantine mode (fail already raised above)
             data = data.filter(F.col("conv_id").isNotNull())
 
+        # Patches flip the table into column-resolution mode, durably:
+        # every read from now on must fold set-masks, even after this
+        # batch's versions are compacted away (collapse keeps the mode
+        # correct but cheaper). Sticky one-time property, not per-batch.
+        if n_partial > 0 and not table.manifest().properties.get("has_partial"):
+            table.set_property("has_partial", True)
+
         # -- adaptive in-batch pre-collapse (high churn only) -------------
-        deduped = n_data / n_keys > cfg.dedup_churn_threshold
+        # Row-level max_by would DISCARD patch content (a patch above a
+        # base must overlay, not replace wholesale), so the pre-collapse
+        # is disabled for any batch carrying partial updates.
+        deduped = n_data / n_keys > cfg.dedup_churn_threshold and n_partial == 0
         if deduped:
             data = (
                 data.groupBy("conv_id", "turn_idx")
@@ -537,7 +571,10 @@ def apply_batch(
 
         metric_exprs = [
             F.coalesce(
-                F.sum(F.when(F.col("op").isin("insert", "update"), 1).otherwise(0)), F.lit(0)
+                F.sum(
+                    F.when(F.col("op").isin("insert", "update", "update_partial"), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("upserts"),
             F.coalesce(F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)), F.lit(0)).alias(
                 "deletes"

@@ -47,6 +47,16 @@ TRANSCRIPTS_V2_ADDED: list[tuple[str, T.DataType]] = [
 # cannot overwrite a newer applied row (cross-batch LWW).
 LSN_META_COL = "_lsn"
 
+# Internal metadata column: which payload columns a PARTIAL update
+# (op = 'update_partial', sparse after-image) actually set. NULL for
+# full-row versions (insert/update/delete) — those are "bases" that
+# reset every column. Column-level resolution folds patches onto the
+# latest base (table._fold_resolve); distinguishing "patch sets col to
+# NULL" from "patch omits col" is exactly why a mask is stored instead
+# of inferring from null-ness (the DuckDB arg_max NULL-skip gotcha, in
+# storage form).
+SETMASK_META_COL = "_set"
+
 # Internal metadata column: tombstone flag. Deletes are RETAINED as
 # tombstone rows (filtered from read_final) so that a stale event
 # re-delivered in a later batch cannot resurrect a deleted key — the
@@ -81,10 +91,15 @@ def transcripts_schema(
     columns: list[tuple[str, T.DataType]],
     with_lsn: bool = False,
     with_deleted: bool = False,
+    with_setmask: bool = False,
 ) -> T.StructType:
     fields = [T.StructField(n, dt, True) for n, dt in columns]
     if with_lsn:
         fields.append(T.StructField(LSN_META_COL, T.LongType(), True))
     if with_deleted:
         fields.append(T.StructField(DELETED_META_COL, T.BooleanType(), True))
+    if with_setmask:
+        fields.append(
+            T.StructField(SETMASK_META_COL, T.ArrayType(T.StringType()), True)
+        )
     return T.StructType(fields)

@@ -252,7 +252,13 @@ class SnapshotTable:
         )
         files = [os.path.join(self.root, p) for ps in sel.values() for p in ps]
         cols = [(n, S.type_from_name(t)) for n, t in m.columns]
-        schema = S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
+        # _set rides every raw read; files written before the mask
+        # existed (or by compaction collapse) simply read it as NULL —
+        # i.e. every row version is a full-row base, which is exactly
+        # what they are.
+        schema = S.transcripts_schema(
+            cols, with_lsn=True, with_deleted=True, with_setmask=True
+        )
         if not files:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
@@ -263,18 +269,28 @@ class SnapshotTable:
         with_deleted: bool = False,
         version: int | None = None,
     ) -> DataFrame:
-        """Merge-on-read resolution: one row per (conv_id, turn_idx) —
-        the max-``_lsn`` version across all delta files (ties are
-        re-delivered identical rows; any survivor is the same row).
+        """Merge-on-read resolution: one row per (conv_id, turn_idx).
+        Row mode (default): the max-``_lsn`` version across all delta
+        files (ties are re-delivered identical rows; any survivor is
+        the same row). Column mode (sticky, once the table has seen a
+        partial update — ``has_partial`` property): fold patch
+        set-masks onto the latest full-row base (``_fold_resolve``).
+        Both modes collapse to full rows; ``_set`` never leaks out.
         Tombstones are kept (flag surfaced when ``with_deleted``) so
         callers see deletions; ``read_final`` filters them."""
+        m = self.manifest(version)
         df = self.read_raw(buckets, version=version)
-        w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col(S.LSN_META_COL).desc())
-        resolved = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        if m.properties.get("has_partial"):
+            resolved = self._fold_resolve(df, m)
+        else:
+            w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+                F.col(S.LSN_META_COL).desc()
+            )
+            resolved = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", S.SETMASK_META_COL)
+            )
         if with_deleted:
             return resolved
         return resolved.drop(S.DELETED_META_COL)
@@ -303,18 +319,86 @@ class SnapshotTable:
         raw = self.read_raw(buckets=[int(b)], version=version).where(
             F.col("conv_id") == conv_id
         )
-        return self._resolve_final(raw)
+        return self._resolve_final(raw, m)
 
-    def _resolve_final(self, raw: DataFrame) -> DataFrame:
-        """LWW + tombstone-filter + meta-drop over an already-scoped raw
-        frame (shared by read_final-style views)."""
-        w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col(S.LSN_META_COL).desc())
+    def _resolve_final(self, raw: DataFrame, m: Manifest | None = None) -> DataFrame:
+        """LWW/fold + tombstone-filter + meta-drop over an already-scoped
+        raw frame (shared by read_final-style views)."""
+        m = m or self.manifest()
+        if m.properties.get("has_partial"):
+            resolved = self._fold_resolve(raw, m)
+        else:
+            w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+                F.col(S.LSN_META_COL).desc()
+            )
+            resolved = (
+                raw.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", S.SETMASK_META_COL)
+            )
+        return resolved.filter(
+            ~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))
+        ).drop(S.LSN_META_COL, S.DELETED_META_COL)
+
+    def _fold_resolve(self, raw: DataFrame, m: Manifest) -> DataFrame:
+        """COLUMN-level resolution for tables with partial updates
+        (sparse after-images, the Hudi/Paimon partial-update merge
+        analog): per key, each column's value comes from the highest-LSN
+        version that SET it — full-row versions (``_set`` NULL: insert /
+        update / delete tombstones) are *bases* that set every column,
+        patches set exactly their mask. Because every base enters every
+        column's candidate set, a patch below the latest base loses and
+        a newer base resets the row — no explicit base_lsn pass is
+        needed, ONE aggregate resolves everything (scale: same single
+        shuffle as the row path; struct-max buffers force SortAggregate
+        rather than hash — max_by compiles identically — but max() of
+        (lsn, value) structs is associative, so the map-side PARTIAL
+        aggregate still pre-reduces to one row per key per partition
+        before the exchange, which the window path cannot do; plan
+        pinned by test_partial_fold_resolve_single_shuffle_no_join).
+
+        Output is a FULL row per key stamped ``_lsn = max(lsn)`` over
+        all versions and ``_deleted`` from the winning base — a shape
+        that is itself a valid base, which is why compaction can
+        resolve-and-rewrite without destroying future patch semantics
+        (a later patch overlays the collapsed row exactly as it would
+        the original chain). Keys with no base ever (orphan patches —
+        nothing to patch) are dropped, the read-side analog of "UPDATE
+        matched zero rows". Deterministic: LSNs are unique per key;
+        re-delivered duplicates tie with identical payloads."""
+        data_cols = [n for n, _ in m.columns if n not in ("conv_id", "turn_idx")]
+        is_base = F.col(S.SETMASK_META_COL).isNull()
+        lsn = F.col(S.LSN_META_COL)
+        aggs = [
+            F.max(
+                F.when(
+                    is_base,
+                    F.struct(
+                        lsn.alias("l"),
+                        F.coalesce(F.col(S.DELETED_META_COL), F.lit(False)).alias("d"),
+                    ),
+                )
+            ).alias("__base"),
+            F.max(lsn).alias("__lsn"),
+        ]
+        for c in data_cols:
+            cand = is_base | F.array_contains(F.col(S.SETMASK_META_COL), F.lit(c))
+            aggs.append(
+                F.max(F.when(cand, F.struct(lsn.alias("l"), F.col(c).alias("v")))).alias(
+                    f"__w_{c}"
+                )
+            )
         return (
-            raw.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .filter(~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False)))
-            .drop(S.LSN_META_COL, S.DELETED_META_COL)
+            raw.groupBy("conv_id", "turn_idx")
+            .agg(*aggs)
+            .filter(F.col("__base").isNotNull())
+            .select(
+                "conv_id",
+                "turn_idx",
+                *[F.col(f"__w_{c}").getField("v").alias(c) for c in data_cols],
+                F.col("__lsn").alias(S.LSN_META_COL),
+                F.col("__base").getField("d").alias(S.DELETED_META_COL),
+            )
         )
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -354,7 +438,12 @@ class SnapshotTable:
                 break
             v = man.parent
         cols = [(n, S.type_from_name(t)) for n, t in m_to.columns]
-        schema = S.transcripts_schema(cols, with_lsn=True, with_deleted=True)
+        # _set rides the changelog too: a downstream incremental
+        # consumer of a partial-update table needs the masks to apply
+        # patches with the same column-fold semantics.
+        schema = S.transcripts_schema(
+            cols, with_lsn=True, with_deleted=True, with_setmask=True
+        )
         if not new_files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.root, f) for f in sorted(set(new_files))]

@@ -843,3 +843,143 @@ def test_fanout_crash_between_tables(spark, tmp_path):
     got_b = {(r.conv_id, r.turn_idx): r.text for r in tb.read_final().collect()}
     assert got_a == {("c2", 0): "ec"}
     assert got_b == {("b1", 0): "ob", ("b1", 1): "ob2"}
+
+
+# ------------------------------------------------------------ partial updates
+
+def _mk_sparse(rows):
+    """rows: (lsn, op, payload_dict|None) on one fixed key."""
+    return pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "conv_id": "conv-p",
+                "turn_idx": 0,
+                "payload": json.dumps(payload) if payload is not None else "{}",
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, op, payload in rows
+        ]
+    )
+
+
+def _final_row(table):
+    rows = table.read_final().collect()
+    assert len(rows) <= 1
+    return rows[0].asDict() if rows else None
+
+
+def test_partial_update_chain(spark, tmp_path):
+    """Sparse after-images overlay column-by-column onto the latest
+    base; untouched columns keep their base values across batches."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(
+            spark,
+            _mk_sparse([(1, "insert", {"role": "user", "text": "A", "ts": "2025-01-01T00:00:00"})]),
+        ),
+        t, 0,
+    )
+    apply_batch(_envelope_df(spark, _mk_sparse([(2, "update_partial", {"text": "B"})])), t, 1)
+    apply_batch(_envelope_df(spark, _mk_sparse([(3, "update_partial", {"role": "asst"})])), t, 2)
+    got = _final_row(t)
+    assert (got["role"], got["text"]) == ("asst", "B")
+    assert got["ts"] is not None and got["tool"] is None
+    assert t.manifest().properties.get("has_partial") is True
+
+
+def test_partial_explicit_null_beats_older_value(spark, tmp_path):
+    """A patch SETTING a column to null must win — presence comes from
+    the stored set-mask, never from value null-ness (the storage-level
+    analog of the DuckDB arg_max NULL-skip hazard)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(1, "insert", {"role": "user", "text": "A"})])), t, 0
+    )
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(2, "update_partial", {"text": None})])), t, 1
+    )
+    got = _final_row(t)
+    assert got["text"] is None and got["role"] == "user"
+
+
+def test_partial_full_base_resets_and_stale_patch_loses(spark, tmp_path):
+    """A newer full-row update resets every column (patches below it
+    die), and a STALE patch re-delivered in a later batch changes
+    nothing."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([
+            (1, "insert", {"role": "user", "text": "A"}),
+            (2, "update_partial", {"text": "B"}),
+        ])), t, 0,
+    )
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(5, "update", {"role": "user", "text": "C"})])), t, 1
+    )
+    assert _final_row(t)["text"] == "C"
+    apply_batch(  # stale patch, redelivered after the reset
+        _envelope_df(spark, _mk_sparse([(2, "update_partial", {"text": "B"})])), t, 2
+    )
+    got = _final_row(t)
+    assert got["text"] == "C" and got["tool"] is None
+
+
+def test_partial_after_delete_is_dropped(spark, tmp_path):
+    """UPDATE matched zero rows: a patch above a tombstone cannot
+    resurrect the key; an orphan patch (no base ever) yields nothing."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([
+            (1, "insert", {"role": "user", "text": "A"}),
+            (2, "delete", None),
+            (3, "update_partial", {"text": "ghost"}),
+        ])), t, 0,
+    )
+    assert _final_row(t) is None
+    t2 = SnapshotTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(3, "update_partial", {"text": "orphan"})])), t2, 0
+    )
+    assert _final_row(t2) is None
+
+
+def test_partial_survives_compaction(spark, tmp_path):
+    """Compaction collapses the patch chain into a full-row base at the
+    chain's max LSN; semantics are invisible — and a patch arriving
+    AFTER compaction overlays the collapsed row correctly."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([
+            (1, "insert", {"role": "user", "text": "A", "tool": "w"}),
+            (2, "update_partial", {"text": "B"}),
+        ])), t, 0,
+    )
+    before = _final_row(t)
+    t.compact_buckets([0, 1])
+    assert _final_row(t) == before
+    assert t.read_raw().count() == 1, "chain must collapse to one base row"
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(9, "update_partial", {"role": "asst"})])), t, 1
+    )
+    got = _final_row(t)
+    assert (got["role"], got["text"], got["tool"]) == ("asst", "B", "w")
+
+
+def test_partial_read_key_and_row_tables_unaffected(spark, tmp_path):
+    """read_key folds on partial tables; a table that never saw a
+    patch keeps the row-LWW fast path (no has_partial property)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([
+            (1, "insert", {"role": "user", "text": "A"}),
+            (2, "update_partial", {"text": "B"}),
+        ])), t, 0,
+    )
+    assert [r.text for r in t.read_key("conv-p").collect()] == ["B"]
+    t2 = SnapshotTable.create(spark, str(tmp_path / "plain"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "X")])), t2, 0)
+    assert t2.manifest().properties.get("has_partial") is None

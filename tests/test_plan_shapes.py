@@ -162,3 +162,31 @@ def test_duplicated_spans_single_aggregate_no_second_join(spark):
         tree.count(n) for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
     assert joins == 1, f"expected exactly one join, plan tree had {joins}"
+
+
+def test_partial_fold_resolve_single_shuffle_no_join(spark, tmp_path):
+    """Column-level fold resolution for partial-update tables
+    (cdc/table.py _fold_resolve) is ONE aggregate — same single
+    shuffle as the row-LWW path, no base/patch self-join, no window.
+    max() of (lsn, value) structs forces SortAggregate (struct agg
+    buffers are not hash-aggregable — max_by has the same physical
+    shape), but it is still associative, so the plan must show a
+    map-side PARTIAL aggregate below the exchange: unlike the window
+    path, only one pre-reduced row per (key, partition) is shuffled,
+    which is what keeps patch resolution O(batch) at 10^10 rows."""
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    t.set_property("has_partial", True)
+    df = t.read(with_deleted=True)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, f"fold must be one shuffle:\n{tree}"
+    assert not any(
+        j in tree for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    ), "fold must not join"
+    assert "Window" not in tree, "fold replaces the row_number window"
+    assert tree.count("SortAggregate") == 2, "partial + final aggregate"
+    assert "partial_max" in p, "map-side combine must be present"
