@@ -983,3 +983,100 @@ def test_partial_read_key_and_row_tables_unaffected(spark, tmp_path):
     t2 = SnapshotTable.create(spark, str(tmp_path / "plain"), n_buckets=2)
     apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "X")])), t2, 0)
     assert t2.manifest().properties.get("has_partial") is None
+
+
+def test_partial_with_schema_evolution(spark, tmp_path):
+    """Patches compose with mid-stream schema evolution: after an
+    add_columns DDL, a patch may set an evolved column (and ONLY it);
+    a patch key that is not (yet) a table column is ignored by the
+    mask (array_intersect with the manifest's names), not an error."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(
+            spark,
+            _mk_sparse([
+                (1, "insert", {"role": "user", "text": "A"}),
+                # pre-evolution patch naming a column that doesn't exist
+                # yet: unknown key dropped from the mask, no effect
+                (2, "update_partial", {"tool_name": "early"}),
+            ]),
+        ),
+        t, 0,
+    )
+    ddl = pd.DataFrame([{
+        "lsn": 10,
+        "ts": pd.Timestamp("2025-01-02"),
+        "op": "schema_change",
+        "conv_id": None,
+        "turn_idx": None,
+        "payload": json.dumps(
+            {"add_columns": {"tool_name": "string", "tool_latency_ms": "long"}}
+        ),
+        "schema_ver": 2,
+        "source_part": 0,
+    }])
+    patch = _mk_sparse([(11, "update_partial", {"tool_name": "t9"})])
+    apply_batch(_envelope_df(spark, pd.concat([ddl, patch])), t, 1)
+    got = _final_row(t)
+    assert got["tool_name"] == "t9", "post-evolution patch must set the new column"
+    assert got["text"] == "A" and got["role"] == "user", "base columns untouched"
+    assert got["tool_latency_ms"] is None
+
+
+def test_partial_through_wal_stream(spark, tmp_path):
+    """Partial updates flow through the streaming WAL driver
+    (readStream -> foreachBatch) unchanged: chunk boundaries become
+    batch boundaries, and the fold result equals the same chain applied
+    in one batch."""
+    log = pd.concat([
+        _mk_sparse([(1, "insert", {"role": "user", "text": "A", "tool": "w"})]),
+        _mk_sparse([(2, "update_partial", {"text": "B"})]),
+        _mk_sparse([(3, "update_partial", {"role": None})]),
+    ]).reset_index(drop=True)
+    log["turn_idx"] = log["turn_idx"].astype("Int32")
+    log["lsn"] = log["lsn"].astype("int64")
+    log["schema_ver"] = log["schema_ver"].astype("int32")
+    log["source_part"] = log["source_part"].astype("int32")
+    wal = str(tmp_path / "wal")
+    write_wal_chunks(log, wal, n_chunks=3)
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    run = run_wal_stream(
+        spark, wal, table, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    assert run.error is None
+    assert len([m for m in run.metrics if not m.skipped]) == 3, "one batch per chunk"
+    got = _final_row(table)
+    assert (got["role"], got["text"], got["tool"]) == (None, "B", "w")
+    assert table.manifest().properties.get("has_partial") is True
+
+
+def test_incremental_view_over_partial_table(spark, tmp_path):
+    """IncrementalView refresh on a partial-update table: the changed
+    keys' groups are recomputed from the FOLD-resolved read, so a patch
+    that changes one column flows into the materialized aggregate."""
+    from audience_behavior_semantic_etl_spark.cdc.incremental import IncrementalView
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(
+            spark,
+            _mk_sparse([
+                (1, "insert", {"role": "user", "text": "alpha"}),
+            ]),
+        ),
+        t, 0,
+    )
+    view = IncrementalView(
+        t,
+        str(tmp_path / "v"),
+        lambda df: df.groupBy("conv_id").agg(F.max("text").alias("max_text")),
+    )
+    assert view.refresh()["mode"] == "full"
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(2, "update_partial", {"text": "zeta"})])), t, 1
+    )
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    rows = {x.conv_id: x.max_text for x in view.read().collect()}
+    assert rows == {"conv-p": "zeta"}
