@@ -33,18 +33,22 @@ WAL_CHUNKS = 256
 FILES_PER_TRIGGER = 64  # -> 4 micro-batches over the full log
 
 
-def wal_cache_dir(seed: int, convs: int, hot_mult: int) -> str:
-    key = hashlib.md5(f"v2|{seed}|{convs}|{WAL_CHUNKS}|{hot_mult}".encode()).hexdigest()[:12]
+def wal_cache_dir(seed: int, convs: int, hot_mult: int, partial_frac: float = 0.0) -> str:
+    key = hashlib.md5(
+        f"v2|{seed}|{convs}|{WAL_CHUNKS}|{hot_mult}|{partial_frac}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"cdc-bench-wal-{key}")
 
 
-def ensure_wal(spark, seed: int, convs: int, hot_mult: int = 40) -> tuple[str, int]:
+def ensure_wal(
+    spark, seed: int, convs: int, hot_mult: int = 40, partial_frac: float = 0.0
+) -> tuple[str, int]:
     """Generate the WAL once (distributed spark generator — see
     cdc/gen_spark.py; its replay contract is pinned to the pandas
     oracle by test_spark_generator_replay_matches_oracle); reuse the
     cached files across runs and parallelism levels so both levels see
     byte-identical input. Returns (wal_dir, n_events)."""
-    d = wal_cache_dir(seed, convs, hot_mult)
+    d = wal_cache_dir(seed, convs, hot_mult, partial_frac)
     meta = d + ".meta.json"  # sibling: the WAL dir must stay pure parquet
     if os.path.exists(meta) and os.path.isdir(d):
         with open(meta) as f:
@@ -56,7 +60,9 @@ def ensure_wal(spark, seed: int, convs: int, hot_mult: int = 40) -> tuple[str, i
 
     tmp = d + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    log = generate_change_log_spark(spark, seed=seed, n_convs=convs, hot_update_mult=hot_mult)
+    log = generate_change_log_spark(
+        spark, seed=seed, n_convs=convs, hot_update_mult=hot_mult, partial_frac=partial_frac
+    )
     write_wal_chunks_spark(log, tmp, n_chunks=WAL_CHUNKS)
     n = spark.read.parquet(tmp).count()
     shutil.rmtree(d, ignore_errors=True)
@@ -68,7 +74,10 @@ def ensure_wal(spark, seed: int, convs: int, hot_mult: int = 40) -> tuple[str, i
 
 def duckdb_expected_keys(wal_dir: str) -> int:
     """Independent (non-Spark) count of expected live keys after full
-    replay: global LWW by lsn, deletes drop the key."""
+    replay: global LWW by lsn over FULL-ROW ops, deletes drop the key.
+    update_partial events are excluded — a patch never creates or
+    deletes a key (column-fold semantics, cdc/table.py _fold_resolve),
+    so key liveness is decided by the lsn-max full-row op alone."""
     import duckdb
 
     return duckdb.sql(
@@ -76,7 +85,7 @@ def duckdb_expected_keys(wal_dir: str) -> int:
         SELECT count(*) FROM (
             SELECT conv_id, turn_idx, arg_max(op, lsn) AS last_op
             FROM read_parquet('{wal_dir}/*.parquet')
-            WHERE op != 'schema_change'
+            WHERE op NOT IN ('schema_change', 'update_partial')
             GROUP BY conv_id, turn_idx
         ) WHERE last_op != 'delete'
         """
@@ -90,6 +99,11 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--check", action="store_true", help="duckdb key-set sanity check")
+    ap.add_argument(
+        "--partial-frac", type=float, default=0.0,
+        help="fraction of update churn emitted as sparse after-images "
+             "(op=update_partial; flips the table into column-fold reads)",
+    )
     ap.add_argument(
         "--hot-mult", type=int, default=40,
         help="update-churn multiplier for hot conversations (skew stress; "
@@ -140,7 +154,9 @@ def main() -> int:
     )
     work = tempfile.mkdtemp(prefix=f"cdc-bench-{args.cpus}-", dir=shm)
     try:
-        wal, n_events = ensure_wal(spark, args.seed, args.convs, args.hot_mult)
+        wal, n_events = ensure_wal(
+            spark, args.seed, args.convs, args.hot_mult, args.partial_frac
+        )
 
         # Warm the JVM + python workers OUTSIDE the timed window by
         # applying one small representative batch to a scratch table
@@ -206,6 +222,7 @@ def main() -> int:
             "phases": [m.phases for m in run.metrics if not m.skipped],
             "hot_keys_seen": int(sum(m.hot_keys for m in run.metrics)),
             "hot_mult": args.hot_mult,
+            "partial_frac": args.partial_frac,
         }
         if args.check:
             expected = duckdb_expected_keys(wal)

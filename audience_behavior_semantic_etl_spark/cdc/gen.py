@@ -215,8 +215,15 @@ def generate_change_log(cfg: GenConfig) -> pd.DataFrame:
 def expected_final_state(log: pd.DataFrame) -> pd.DataFrame:
     """Independent single-threaded oracle: reduce the log to the final
     table state (LWW by lsn; deletes drop the key; text canonicalized;
-    v2 payloads populate tool_name/tool_latency_ms)."""
+    v2 payloads populate tool_name/tool_latency_ms). When the log
+    carries ``update_partial`` events (sparse after-images), the
+    reduction is COLUMN-level: replay each key's events in lsn order,
+    full-row ops reset every column, patches overwrite exactly the
+    keys present in their payload (an explicit JSON null overwrites
+    with null); keys whose lsn-max full-row op is a delete drop."""
     data = log[log["op"] != "schema_change"].copy()
+    if (data["op"] == "update_partial").any():
+        return _expected_final_state_fold(data)
     data = data.sort_values("lsn", kind="mergesort").drop_duplicates(
         subset=["conv_id", "turn_idx"], keep="last"
     )
@@ -237,6 +244,62 @@ def expected_final_state(log: pd.DataFrame) -> pd.DataFrame:
                 "tool_latency_ms": tm.get("latency_ms"),
             }
         )
+    out = pd.DataFrame(rows)
+    if len(out):
+        out["tool_latency_ms"] = out["tool_latency_ms"].astype("Int64")
+        out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return out
+
+
+def _expected_final_state_fold(data: pd.DataFrame) -> pd.DataFrame:
+    """Column-level replay for logs with sparse after-images: events
+    per key in lsn order; full-row ops (insert/update/delete) reset the
+    whole row, patches overwrite exactly their payload's keys — an
+    explicit JSON null overwrites with null, which is why presence is
+    keyed on the payload dict, never on value non-nullness. Keys with
+    no full-row op ever (orphan patches) or whose winning full-row op
+    is a delete are dropped — mirrors cdc/table.py _fold_resolve."""
+    flat = ("role", "text", "tool", "ts", "tool_name", "tool_latency_ms")
+    data = data.sort_values("lsn", kind="mergesort").drop_duplicates(
+        subset=["conv_id", "turn_idx", "lsn"]
+    )
+    state: dict = {}
+    for r in data.itertuples():
+        key = (r.conv_id, int(r.turn_idx))
+        if r.op == "update_partial":
+            st = state.setdefault(key, {"_has_base": False, "_deleted": False})
+            for k, v in json.loads(r.payload).items():
+                # non-column keys are mask-ignored, like the engine's
+                # array_intersect with the manifest's flat names
+                if k in flat:
+                    st[k] = canonical_text(v) if k == "text" else v
+        else:
+            p = json.loads(r.payload)
+            tm = p.get("tool_meta") or {}
+            state[key] = {
+                "_has_base": True,
+                "_deleted": r.op == "delete",
+                "role": p.get("role"),
+                "text": canonical_text(p.get("text")),
+                "tool": p.get("tool"),
+                "ts": p.get("ts"),
+                "tool_name": tm.get("name"),
+                "tool_latency_ms": tm.get("latency_ms"),
+            }
+    rows = [
+        {
+            "conv_id": cid,
+            "turn_idx": tix,
+            "role": st.get("role"),
+            "text": st.get("text"),
+            "tool": st.get("tool"),
+            "ts": pd.Timestamp(st["ts"]) if st.get("ts") else None,
+            "tool_name": st.get("tool_name"),
+            "tool_latency_ms": st.get("tool_latency_ms"),
+        }
+        for (cid, tix), st in state.items()
+        if st["_has_base"] and not st["_deleted"]
+    ]
     out = pd.DataFrame(rows)
     if len(out):
         out["tool_latency_ms"] = out["tool_latency_ms"].astype("Int64")

@@ -59,6 +59,7 @@ def generate_change_log_spark(
     n_source_parts: int = 4,
     schema_change_at: float = 0.5,
     n_partitions: int | None = None,
+    partial_frac: float = 0.0,
 ) -> DataFrame:
     """Build the WAL as a DataFrame in stream order (column ``lsn`` is
     the order; callers sort/range-partition by it when chunking)."""
@@ -159,9 +160,20 @@ def generate_change_log_spark(
     max_pos = 4_294_967_296 * 1024 * 1_048_576
     evolution_lsn = int(max_pos * sc_frac)
 
+    # Sparse after-images: a deterministic partial_frac slice of the
+    # UPDATE churn becomes op='update_partial' carrying only the
+    # columns it sets. Two shapes, both exercised: text-only, and
+    # explicit-null role + a tool value (the null must be hand-built:
+    # to_json DROPS null struct fields, and storing "role was set to
+    # null" is the whole point of the set-mask).
+    is_partial = (F.col("version") >= 2) & (
+        (_h(seed, F.lit("pf"), "conv_id", "turn_idx", "version") % 100)
+        < int(partial_frac * 100)
+    )
     op = (
         F.when(F.col("version") == 0, F.lit("delete"))
         .when(F.col("version") == 1, F.lit("insert"))
+        .when(is_partial, F.lit("update_partial"))
         .otherwise(F.lit("update"))
     )
     role = F.when(
@@ -220,8 +232,20 @@ def generate_change_log_spark(
             )
         ),
     ).otherwise(payload_v1)
-    payload = F.when(op == "delete", F.lit("{}")).otherwise(
-        F.when(is_v2, payload_v2).otherwise(payload_v1)
+    patch_shape_a = (_h(seed, F.lit("ps"), "conv_id", "turn_idx", "version") % 2) == 0
+    payload_partial = F.when(
+        patch_shape_a, F.to_json(F.struct(text.alias("text")))
+    ).otherwise(
+        F.concat(
+            F.lit('{"role": null, "tool": "p'),
+            F.col("version").cast("string"),
+            F.lit('"}'),
+        )
+    )
+    payload = (
+        F.when(op == "delete", F.lit("{}"))
+        .when(op == "update_partial", payload_partial)
+        .otherwise(F.when(is_v2, payload_v2).otherwise(payload_v1))
     )
 
     data = ev.select(

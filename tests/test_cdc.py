@@ -1080,3 +1080,29 @@ def test_incremental_view_over_partial_table(spark, tmp_path):
     assert r["mode"] == "incremental"
     rows = {x.conv_id: x.max_text for x in view.read().collect()}
     assert rows == {"conv-p": "zeta"}
+
+
+def test_spark_generator_partial_replay_matches_oracle(spark, tmp_path):
+    """The scale-path generator's partial_frac slice must satisfy the
+    full replay contract: stream-replay of a WAL carrying sparse
+    after-images (both patch shapes, redelivered duplicates included)
+    equals the independent single-threaded column-fold reduction."""
+    from audience_behavior_semantic_etl_spark.cdc.gen_spark import (
+        generate_change_log_spark,
+        write_wal_chunks_spark,
+    )
+
+    log_df = generate_change_log_spark(spark, seed=13, n_convs=300, partial_frac=0.4)
+    wal = str(tmp_path / "wal")
+    write_wal_chunks_spark(log_df, wal, n_chunks=6)
+
+    log_pdf = spark.read.parquet(wal).toPandas()
+    n_partial = int((log_pdf["op"] == "update_partial").sum())
+    assert n_partial > 50, "partial_frac must actually produce patches"
+    oracle = expected_final_state(log_pdf)
+
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    run = run_wal_stream(spark, wal, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    assert run.error is None
+    assert table.manifest().properties.get("has_partial") is True
+    check_equal(table_to_pandas(table), oracle)
