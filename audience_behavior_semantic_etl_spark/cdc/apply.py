@@ -676,6 +676,26 @@ def apply_batch(
             quar.write.mode("overwrite").parquet(table.quarantine_dir(batch_id, cfg.app_id))
         _phase("write")
 
+        if n_partial > 0:
+            # Union this batch's patch masks into the manifest's
+            # patched-column set: fold reads per-column-aggregate ONLY
+            # columns a patch has ever touched (table._fold_resolve);
+            # the rest ride the winning-base struct. Read back from the
+            # just-staged files — the _set column is tiny and
+            # column-pruned, far cheaper than a payload re-parse.
+            # Durable BEFORE the commit: a crash in between leaves a
+            # conservative superset, never a miss.
+            seen = {
+                r["c"]
+                for r in spark.read.parquet(staged)
+                .select(F.explode(F.col(S.SETMASK_META_COL)).alias("c"))
+                .distinct()
+                .collect()
+            }
+            prev = set(table.manifest().properties.get("patched_columns") or [])
+            if not (seen <= prev):
+                table.set_property("patched_columns", sorted(prev | seen))
+
         snapshot = table.commit_append_deltas(
             staged_dir=staged,
             affected_buckets=affected,

@@ -1106,3 +1106,30 @@ def test_spark_generator_partial_replay_matches_oracle(spark, tmp_path):
     assert run.error is None
     assert table.manifest().properties.get("has_partial") is True
     check_equal(table_to_pandas(table), oracle)
+
+
+def test_patched_columns_tracked_and_grow(spark, tmp_path):
+    """The manifest's patched-column set grows monotonically with the
+    masks actually seen, and fold reads stay correct as it grows (a
+    never-patched column rides the winning-base struct; a column
+    becomes per-column-aggregated the batch something patches it)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(
+            spark,
+            _mk_sparse([
+                (1, "insert", {"role": "user", "text": "A", "tool": "w"}),
+                (2, "update_partial", {"text": "B"}),
+            ]),
+        ),
+        t, 0,
+    )
+    assert t.manifest().properties.get("patched_columns") == ["text"]
+    got = _final_row(t)
+    assert (got["role"], got["text"], got["tool"]) == ("user", "B", "w")
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(3, "update_partial", {"role": None})])), t, 1
+    )
+    assert t.manifest().properties.get("patched_columns") == ["role", "text"]
+    got = _final_row(t)
+    assert (got["role"], got["text"], got["tool"]) == (None, "B", "w")
