@@ -62,6 +62,25 @@ def bucket_expr(conv_col, n_buckets: int):
     return F.pmod(F.xxhash64(conv_col), F.lit(n_buckets)).cast("int")
 
 
+# File-level key-range statistics (Iceberg DataFile lower_bounds /
+# upper_bounds analog). Collected DRIVER-side from parquet FOOTERS at
+# adoption time — footer-only metadata reads, no data pages touched,
+# which is exactly the cost model of an Iceberg writer reporting stats
+# in its DataFile entries. Values longer than this are discarded rather
+# than trusted: parquet implementations may truncate long binary
+# min/max (making `key > max` pruning unsound); engine-generated
+# conv_ids are far shorter, so real files always qualify, and a file
+# with no usable stats is simply never pruned (correctness-safe
+# default).
+_STATS_MAX_LEN = 256
+
+
+def _stats_admit(stat: list | None, key: str) -> bool:
+    """May ``key`` live in a file with min/max ``stat``? Missing stats
+    admit (never prune what we can't bound)."""
+    return stat is None or (stat[0] <= key <= stat[1])
+
+
 def _safe_dirname(s: str) -> str:
     """App ids become directory components (quarantine layout); replace
     anything path-hostile so an id like 'etl/prod' can't escape the
@@ -250,7 +269,12 @@ class SnapshotTable:
             if buckets is None
             else {str(b): m.buckets.get(str(b), []) for b in buckets}
         )
-        files = [os.path.join(self.root, p) for ps in sel.values() for p in ps]
+        return self._read_rel_files(m, [p for ps in sel.values() for p in ps])
+
+    def _read_rel_files(self, m: Manifest, rels: list[str]) -> DataFrame:
+        """Raw scan of an explicit manifest-relative file list under the
+        manifest's (evolved) schema — the shared tail of read_raw and
+        the stats-pruned read_key path."""
         cols = [(n, S.type_from_name(t)) for n, t in m.columns]
         # _set rides every raw read; files written before the mask
         # existed (or by compaction collapse) simply read it as NULL —
@@ -259,9 +283,11 @@ class SnapshotTable:
         schema = S.transcripts_schema(
             cols, with_lsn=True, with_deleted=True, with_setmask=True
         )
-        if not files:
+        if not rels:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in rels]
+        )
 
     def read(
         self,
@@ -305,20 +331,36 @@ class SnapshotTable:
 
     def read_key(self, conv_id: str, version: int | None = None) -> DataFrame:
         """Point lookup: the live turns of ONE conversation, touching
-        only its bucket's files — the bucket transform is applied
-        DRIVER-side to the literal key, so the scan is O(one bucket),
-        not O(table), and the residual filter+LWW run over a single
-        bucket's rows (the Iceberg bucket-transform partition-pruning
-        story, reproduced on the manifest)."""
+        only the files that can CONTAIN it. Two pruning levels, both
+        manifest-resident and applied driver-side to the literal key:
+
+        1. bucket transform — the Iceberg bucket-partition-pruning
+           story: the scan is O(one bucket), not O(table);
+        2. per-file conv_id min/max ranges (``file_stats`` property,
+           the Iceberg DataFile lower/upper-bounds analog) — delta
+           files are written sorted by conv_id, and the transcript
+           workload creates conversations over time, so a bucket's
+           accumulated delta generations have tight, mostly-disjoint
+           key ranges; a recent-key lookup skips old generations
+           entirely. At 100 TB a bucket holds thousands of files and
+           this is the difference between O(bucket) and O(files
+           actually holding the key).
+
+        Files with no recorded stats (pre-stats tables, foreign
+        writers) are always read — pruning is never unsound."""
         m = self.manifest(version)
         b = (
             self.spark.range(1)
             .select(bucket_expr(F.lit(conv_id), m.n_buckets).alias("b"))
             .collect()[0]["b"]
         )
-        raw = self.read_raw(buckets=[int(b)], version=version).where(
-            F.col("conv_id") == conv_id
-        )
+        stats = m.properties.get("file_stats") or {}
+        rels = [
+            r
+            for r in m.buckets.get(str(int(b)), [])
+            if _stats_admit(stats.get(r), conv_id)
+        ]
+        raw = self._read_rel_files(m, rels).where(F.col("conv_id") == conv_id)
         return self._resolve_final(raw, m)
 
     def _resolve_final(self, raw: DataFrame, m: Manifest | None = None) -> DataFrame:
@@ -537,6 +579,48 @@ class SnapshotTable:
         shutil.rmtree(staged_dir, ignore_errors=True)
         return out
 
+    def _collect_file_stats(self, rels: list[str]) -> dict[str, list[str]]:
+        """Per-file [min, max] of ``conv_id`` read from the parquet
+        FOOTERS of just-adopted files (row-group statistics unioned per
+        file). Footer-only: no data pages are read, so the cost per
+        commit is O(new files) metadata fetches — the same work an
+        Iceberg writer does to fill DataFile.lower_bounds/upper_bounds.
+        Files whose stats are missing, non-string, or suspiciously long
+        (possible writer-side truncation, which would make range
+        pruning unsound) are omitted — readers treat a missing entry as
+        "may contain anything"."""
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover - pyarrow ships in-sandbox
+            return {}
+        out: dict[str, list[str]] = {}
+        for rel in rels:
+            try:
+                md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                idx = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == "conv_id"
+                )
+                mins: list[str] = []
+                maxs: list[str] = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("row group without min/max")
+                    lo, hi = st.min, st.max
+                    if not (isinstance(lo, str) and isinstance(hi, str)):
+                        raise ValueError("non-string conv_id stats")
+                    if len(lo) > _STATS_MAX_LEN or len(hi) > _STATS_MAX_LEN:
+                        raise ValueError("stats too long to trust")
+                    mins.append(lo)
+                    maxs.append(hi)
+                if mins:
+                    out[rel] = [min(mins), max(maxs)]
+            except Exception:
+                continue
+        return out
+
     def _with_commit_lock(self, fn, timeout: float = 120.0):
         """Serialize the commit critical section across THREADS AND
         PROCESSES with an O_EXCL lockfile — the local-FS analog of the
@@ -580,10 +664,12 @@ class SnapshotTable:
         manifest inside the lock."""
         adoption = uuid.uuid4().hex
         adopted = self._adopt_staged(staged_dir, affected_buckets, adoption)
+        stats = self._collect_file_stats([r for rs in adopted.values() for r in rs])
 
         def mutate(m: Manifest) -> None:
             for b, rels in adopted.items():
                 m.buckets[b] = list(m.buckets.get(b, [])) + rels
+            m.properties.setdefault("file_stats", {}).update(stats)
 
         return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
 
@@ -610,12 +696,14 @@ class SnapshotTable:
         adoption = uuid.uuid4().hex
         adopted = self._adopt_staged(staged_dir, affected_buckets, adoption)
         base = base_buckets or {}
+        stats = self._collect_file_stats([r for rs in adopted.values() for r in rs])
 
         def mutate(m: Manifest) -> None:
             for b, rels in adopted.items():
                 known = set(base.get(b, m.buckets.get(b, [])))
                 appended_since = [f for f in m.buckets.get(b, []) if f not in known]
                 m.buckets[b] = rels + appended_since
+            m.properties.setdefault("file_stats", {}).update(stats)
 
         return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
 
@@ -655,6 +743,14 @@ class SnapshotTable:
         def run() -> str:
             m = self.manifest()
             mutate(m)
+            fs = m.properties.get("file_stats")
+            if fs:
+                # stats live and die with the files they describe; a
+                # rewriting commit (compaction/purge) drops the entries
+                # of the files it removed. Old versions keep their own
+                # copies — time travel prunes with era-correct stats.
+                ref = {f for fls in m.buckets.values() for f in fls}
+                m.properties["file_stats"] = {k: v for k, v in fs.items() if k in ref}
             m.parent = m.version
             m.version += 1
             old_snapshot = m.snapshot_id
@@ -764,6 +860,88 @@ class SnapshotTable:
         return self.compact_buckets(
             buckets, purge_tombstones_below_lsn=below_lsn, shuffle_partitions=shuffle_partitions
         )
+
+    def rebucket(self, new_n_buckets: int, shuffle_partitions: int | None = None) -> str:
+        """BUCKET-COUNT EVOLUTION (Iceberg partition-spec evolution for
+        the bucket transform): rewrite the whole table under a new
+        ``pmod(xxhash64(conv_id), new_n)`` layout in one resolved pass
+        and commit it as a snapshot. The operational lever when key
+        cardinality outgrows the layout — at 100 TB a table created
+        with 32 buckets and now holding 10^9 conversations needs more
+        write parallelism and finer read_key pruning, and bucket count
+        is baked into every file's placement, so this is necessarily a
+        full rewrite (ONE shuffle: resolve is bucket-local, then one
+        range-exchange on the new bucket id).
+
+        Semantics-invisible: the rewrite is the fold/LWW-resolved state
+        (tombstones retained, like compaction without a purge horizon),
+        the exactly-once ledger / watermarks / patched-column properties
+        carry over untouched, and TIME TRAVEL still works — per-version
+        manifests pin their own ``n_buckets``, so ``read_key(version=old)``
+        prunes with the OLD transform against the OLD file set (files
+        stay on disk until gc_orphans expires the version).
+
+        Concurrency: single-maintenance-writer, conflict-ABORTED. A
+        file appended concurrently under the old layout cannot be
+        retained (its rows span many NEW buckets, so keeping it would
+        poison read_key pruning) — if any commit lands between the read
+        and this commit, the rewrite is abandoned (staged files
+        orphaned for GC) and ValueError raised; the caller retries in a
+        quiet window. That is the Iceberg RewriteDataFiles conflict
+        rule, stricter here because the partition SPEC itself changes.
+        Raises on no-op (same bucket count)."""
+        if new_n_buckets < 1:
+            raise ValueError(f"rebucket: need >= 1 bucket, got {new_n_buckets}")
+        m0 = self.manifest()
+        if new_n_buckets == m0.n_buckets:
+            raise ValueError(f"rebucket: table already has {new_n_buckets} buckets")
+        resolved = self.read(with_deleted=True, version=m0.version)
+        n = shuffle_partitions or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        staged = self.new_staging_dir()
+        (
+            resolved.withColumn("__bucket", bucket_expr(F.col("conv_id"), new_n_buckets))
+            .repartitionByRange(min(n, new_n_buckets), "__bucket", "conv_id")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staged)
+        )
+        adoption = uuid.uuid4().hex
+        adopted = self._adopt_staged(staged, list(range(new_n_buckets)), adoption)
+        stats = self._collect_file_stats([r for rs in adopted.values() for r in rs])
+        snapshot = uuid.uuid4().hex
+
+        def run() -> str:
+            m = self.manifest()
+            if m.version != m0.version:
+                # adopted files become unreferenced -> gc_orphans fodder
+                raise ValueError(
+                    "rebucket: concurrent commit landed "
+                    f"(v{m0.version} -> v{m.version}); retry in a quiet window"
+                )
+            old_snapshot = m.snapshot_id
+            m.n_buckets = new_n_buckets
+            m.buckets = {b: rels for b, rels in adopted.items() if rels}
+            # full rewrite: the stats map is exactly the new files'
+            m.properties["file_stats"] = stats
+            m.parent = m.version
+            m.version += 1
+            m.snapshot_id = snapshot
+            m.lineage.append(
+                {
+                    "op": "rebucket",
+                    "from_buckets": m0.n_buckets,
+                    "to_buckets": new_n_buckets,
+                    "snapshot_id": snapshot,
+                    "parent_snapshot": old_snapshot,
+                }
+            )
+            self._write_manifest(m)
+            return snapshot
+
+        return self._with_commit_lock(run)
 
     def startup_maintenance(
         self, keep_versions: int = 3, staging_grace_seconds: float = 3600.0

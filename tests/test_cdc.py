@@ -1133,3 +1133,221 @@ def test_patched_columns_tracked_and_grow(spark, tmp_path):
     assert t.manifest().properties.get("patched_columns") == ["role", "text"]
     got = _final_row(t)
     assert (got["role"], got["text"], got["tool"]) == (None, "B", "w")
+
+
+# ------------------------------------------------------------- rebucket
+
+def test_rebucket_semantics_invisible_and_prunes(spark, small_log, tmp_path):
+    """Bucket-count evolution 8 -> 32: final state identical, the
+    exactly-once ledger survives (a pre-rebucket batch id re-delivered
+    after still no-ops), point lookups prune under the NEW transform,
+    and new applies land under the new layout."""
+    log, oracle = small_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_batch(_envelope_df(spark, log), table, 0)
+    before = table_to_pandas(table)
+    table.rebucket(32)
+    m = table.manifest()
+    assert m.n_buckets == 32
+    check_equal(table_to_pandas(table), before)
+    # ledger preserved: re-delivery of batch 0 must still no-op
+    assert apply_batch(_envelope_df(spark, log), table, 0).skipped
+    # point lookup prunes with the new transform
+    conv = oracle["conv_id"].iloc[0]
+    got = table.read_key(conv).toPandas().sort_values("turn_idx")
+    want = oracle[oracle["conv_id"] == conv].sort_values("turn_idx")
+    assert list(got["text"]) == list(want["text"])
+    n_total = sum(len(fs) for fs in m.buckets.values())
+    assert len(table.read_key(conv).inputFiles()) < n_total
+    # a post-rebucket apply lands and reads under the new layout
+    apply_batch(_envelope_df(spark, _mk_events([(10**6, "insert", "post")])), table, 1)
+    assert "post" in set(table.read_final().toPandas()["text"])
+
+
+def test_rebucket_time_travel_uses_old_layout(spark, small_log, tmp_path):
+    """Per-version manifests pin their own n_buckets: reading the
+    pre-rebucket version (read_final and pruned read_key) still works
+    against the old file set after the rewrite."""
+    log, oracle = small_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    apply_batch(_envelope_df(spark, log), table, 0)
+    v_old = table.manifest().version
+    before = table_to_pandas(table)
+    table.rebucket(4)
+    got_old = (
+        table.read_final(version=v_old)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    check_equal(got_old, before)
+    conv = oracle["conv_id"].iloc[0]
+    got = table.read_key(conv, version=v_old).toPandas().sort_values("turn_idx")
+    want = oracle[oracle["conv_id"] == conv].sort_values("turn_idx")
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_rebucket_partial_table_keeps_fold_semantics(spark, tmp_path):
+    """Rebucketing a partial-update table collapses chains into bases
+    (like compaction) without changing the visible state, keeps
+    patched_columns, and a patch arriving AFTER the rewrite overlays
+    the relocated row correctly."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([
+            (1, "insert", {"role": "user", "text": "A", "tool": "w"}),
+            (2, "update_partial", {"text": "B"}),
+        ])), t, 0,
+    )
+    before = _final_row(t)
+    t.rebucket(8)
+    assert _final_row(t) == before
+    assert t.manifest().properties.get("patched_columns") == ["text"]
+    apply_batch(
+        _envelope_df(spark, _mk_sparse([(9, "update_partial", {"role": "asst"})])), t, 1
+    )
+    got = _final_row(t)
+    assert (got["role"], got["text"], got["tool"]) == ("asst", "B", "w")
+
+
+def test_rebucket_conflict_aborts(spark, monkeypatch, tmp_path):
+    """A commit landing between the rebucket's read and its commit
+    aborts the rewrite (the staged files become GC orphans) — retained
+    old-layout files would poison new-transform bucket pruning."""
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_events([(1, "insert", "A")])), table, 0)
+
+    real_staging = SnapshotTable.new_staging_dir
+    fired = []
+
+    def racing_staging(self):
+        # a concurrent apply commits while the rebucket is mid-rewrite
+        # (fire once only: apply_batch itself stages, which would recurse)
+        if not fired:
+            fired.append(True)
+            apply_batch(_envelope_df(spark, _mk_events([(2, "update", "B")])), self, 1)
+        return real_staging(self)
+
+    monkeypatch.setattr(SnapshotTable, "new_staging_dir", racing_staging)
+    with pytest.raises(ValueError, match="concurrent commit"):
+        table.rebucket(8)
+    monkeypatch.undo()
+    # table unharmed: old layout, both batches' effects visible
+    assert table.manifest().n_buckets == 2
+    assert list(table.read_final().toPandas()["text"]) == ["B"]
+
+
+# ----------------------------------------------------------- file stats
+
+def _mk_conv_events(rows):
+    """rows: (lsn, conv_id, text) inserts at turn 0."""
+    return pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                "op": "insert",
+                "conv_id": conv,
+                "turn_idx": 0,
+                "payload": json.dumps(
+                    {"role": "user", "text": text, "tool": None,
+                     "ts": "2025-01-01T00:00:00"}
+                ),
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, conv, text in rows
+        ]
+    )
+
+
+def test_file_stats_prune_point_lookup(spark, tmp_path):
+    """Per-file conv_id min/max stats land in the manifest at commit and
+    read_key skips delta generations whose range can't hold the key —
+    with one bucket, a lookup of a batch-2 conversation must not read
+    batch 1's file."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=1)
+    apply_batch(
+        _envelope_df(
+            spark,
+            _mk_conv_events([(i, f"aaa-{i:04d}", f"old{i}") for i in range(20)]),
+        ),
+        t, 0,
+    )
+    apply_batch(
+        _envelope_df(
+            spark,
+            _mk_conv_events([(100 + i, f"zzz-{i:04d}", f"new{i}") for i in range(20)]),
+        ),
+        t, 1,
+    )
+    m = t.manifest()
+    all_files = [f for fs in m.buckets.values() for f in fs]
+    stats = m.properties.get("file_stats", {})
+    assert set(stats) == set(all_files), "every adopted file gets stats"
+    for lo, hi in stats.values():
+        assert lo <= hi
+    got = t.read_key("zzz-0007")
+    assert [r["text"] for r in got.collect()] == ["new7"]
+    touched = got.inputFiles()
+    assert len(touched) < len(all_files), "old-range file must be pruned"
+    assert all("zzz" in open_stats_range(stats, f) for f in _rels_of(t, touched))
+
+
+def _rels_of(table, abs_files):
+    import os
+    import urllib.parse
+    out = []
+    for f in abs_files:
+        p = urllib.parse.unquote(f.replace("file:", ""))
+        out.append(os.path.relpath(p, table.root))
+    return out
+
+
+def open_stats_range(stats, rel):
+    lo, hi = stats[rel]
+    return lo + hi
+
+
+def test_file_stats_missing_admits_and_compaction_prunes_stale(spark, tmp_path):
+    """A file with no stats entry is always read (pruning is
+    correctness-safe), and a rewriting commit drops the removed files'
+    stale entries while recording the rewritten file's own."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=1)
+    apply_batch(
+        _envelope_df(spark, _mk_conv_events([(1, "aaa", "A")])), t, 0)
+    apply_batch(
+        _envelope_df(spark, _mk_conv_events([(2, "zzz", "Z")])), t, 1)
+    # wipe the stats map -> lookups must still see everything
+    t.set_property("file_stats", {})
+    assert [r["text"] for r in t.read_key("zzz").collect()] == ["Z"]
+    t.compact_buckets([0])
+    m = t.manifest()
+    ref = {f for fs in m.buckets.values() for f in fs}
+    stats = m.properties.get("file_stats", {})
+    assert set(stats) == ref, "post-compaction stats == exactly the live files"
+    assert stats[next(iter(ref))] == ["aaa", "zzz"]
+    assert [r["text"] for r in t.read_key("aaa").collect()] == ["A"]
+
+
+def test_file_stats_time_travel_era_correct(spark, tmp_path):
+    """Each version's manifest carries its own stats copy: a
+    pre-rebucket version still prunes with its era's files."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(
+        _envelope_df(
+            spark, _mk_conv_events([(i, f"c-{i:03d}", f"t{i}") for i in range(10)])
+        ),
+        t, 0,
+    )
+    v_old = t.manifest().version
+    t.rebucket(4)
+    assert set(t.manifest(v_old).properties.get("file_stats", {})) == {
+        f for fs in t.manifest(v_old).buckets.values() for f in fs
+    }
+    assert [r["text"] for r in t.read_key("c-003", version=v_old).collect()] == ["t3"]
+    assert [r["text"] for r in t.read_key("c-003").collect()] == ["t3"]
+    m = t.manifest()
+    assert set(m.properties["file_stats"]) == {
+        f for fs in m.buckets.values() for f in fs
+    }
