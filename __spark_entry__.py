@@ -1075,6 +1075,44 @@ def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "role", "text", "tool")
 
 
+def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-COUNT EVOLUTION through the real engine (Iceberg
+    partition-spec evolution for the bucket transform,
+    table.rebucket): batch 0 lands on an 8-bucket layout, the table is
+    rewritten to 32 buckets in one resolved pass (ONE shuffle), then
+    batch 1 lands UNDER THE NEW LAYOUT — so the oracle (plain full-log
+    LWW) only matches if the rewrite was semantics-invisible AND
+    post-evolution applies route keys with the new transform. The
+    exactly-once ledger must survive the rewrite: batch 0 re-delivered
+    after the rebucket no-ops. A point lookup after evolution prunes
+    with the new transform + per-file key-range stats (file count
+    touched < live file count)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-rbk-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-rbk", auto_compact=False, shuffle_partitions=8)
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg)
+    table.rebucket(32, shuffle_partitions=8)
+    assert table.manifest().n_buckets == 32
+    apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), table, 1, cfg)
+    assert apply_batch(
+        env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg
+    ).skipped, "ledger must survive the rewrite"
+    m = table.manifest()
+    conv = env.select("conv_id").first()["conv_id"]
+    n_live = sum(len(fs) for fs in m.buckets.values())
+    assert len(table.read_key(conv).inputFiles()) < n_live
+    return table.read_final().select("conv_id", "turn_idx", "text")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2396,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collect_paths": q_collect_paths,
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
+        "q_cdc_rebucket": q_cdc_rebucket,  # new round-4 (post-driver-run)
     }
 
 
@@ -2927,6 +2966,22 @@ def oracle_sql() -> dict[str, str]:
         # Maintenance invisibility: compaction + tombstone purge + GC
         # must reproduce the plain full-log LWW state exactly.
         "q_cdc_maintenance": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events)
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT t.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev t) u
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # Rebucket invisibility: full-log LWW — the 8->32 bucket rewrite
+        # between the two applies must not change the visible state.
+        "q_cdc_rebucket": """
             WITH ev AS (
               SELECT event_id AS lsn,
                      CAST(user_id AS VARCHAR) AS conv_id,
