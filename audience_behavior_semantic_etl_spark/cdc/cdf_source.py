@@ -1,0 +1,196 @@
+"""Streaming CHANGE-DATA-FEED source: the snapshot table as a first-
+class Structured Streaming SOURCE (``spark.readStream.format(...)``),
+built on Spark 4's Python DataSource API.
+
+``read_changes`` (table.py) gives batch incremental consumption; this
+module gives the streaming form — the Delta CDF ``readStream`` /
+Iceberg incremental-scan-as-stream analog, so downstream pipelines
+(feature builders, index maintainers, replicas) chain off the table
+with checkpointed exactly-once progress instead of polling versions
+by hand.
+
+Design (all driver-side logic is manifest-only — no data read):
+
+- **Offsets are table versions.** ``initialOffset`` = the
+  ``startingVersion`` option (default: the current version at stream
+  start — "changes from now on"); ``latestOffset`` re-reads the
+  ``_current`` pointer. Spark checkpoints these offsets, giving
+  exactly-once delivery of row VERSIONS across restarts for free.
+- **A micro-batch (start, end] is the files its commits APPENDED,
+  diffed structurally.** For each version in the window: a commit
+  that only ADDS files is an apply — its files are new row versions,
+  delivered; a commit that also REMOVES files is maintenance
+  (compaction / tombstone purge / rebucket) — it carries no new row
+  versions and contributes NOTHING. This is why the stream SURVIVES
+  maintenance where batch ``read_changes`` must refuse the window: a
+  rewritten file would re-deliver already-consumed versions, so it is
+  skipped, while genuine appends before/after the rewrite flow
+  through. Metadata-only commits (schema evolution, set_property)
+  naturally contribute no files.
+- **One InputPartition per file**, read EXECUTOR-side with pyarrow
+  and yielded as Arrow RecordBatches (the vectorized fast path — no
+  per-row Python). Parallelism = files in the window, which at a
+  1000-executor scale is exactly the append parallelism of the
+  upstream writer.
+- **Schema is pinned at stream start** (the standard streaming-source
+  contract): rows from files written before a column existed are
+  padded with nulls, the storage-level analog of the table's own
+  schema-evolution read path. ``_lsn`` / ``_deleted`` / ``_set`` ride
+  along so consumers can apply LWW / column-fold semantics downstream.
+
+Usage::
+
+    spark.dataSource.register(TranscriptsCDF)
+    stream = (spark.readStream.format("transcripts_cdf")
+              .option("path", table.root)
+              .option("startingVersion", 0)   # optional
+              .load())
+
+Reference parity: the reference has no streaming source at all (its
+engine-in-engine SessionETL was abandoned, SessionETL.scala:32-64);
+this is part of the delta the Spark build adds over it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+from audience_behavior_semantic_etl_spark.cdc import schema as S
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _manifest_dict(root: str, version: int) -> dict:
+    with open(os.path.join(root, "_manifests", f"v{version}.json")) as f:
+        return json.loads(f.read())
+
+
+def _current_version(root: str) -> int:
+    with open(os.path.join(root, "_current")) as f:
+        return int(f.read().strip())
+
+
+def _appended_files(root: str, start: int, end: int) -> list[str]:
+    """Files appended by append-only commits in versions (start, end],
+    newest-first walk over the manifest chain (same traversal as
+    table.read_changes, but maintenance windows are SKIPPED, not
+    refused — see module docstring)."""
+    out: list[str] = []
+    v = end
+    while v > start:
+        man = _manifest_dict(root, v)
+        parent = man.get("parent")
+        prev = (
+            {f for fs in _manifest_dict(root, parent)["buckets"].values() for f in fs}
+            if parent is not None
+            else set()
+        )
+        cur = {f for fs in man["buckets"].values() for f in fs}
+        if not (prev - cur):  # pure append (or metadata-only): deliver
+            out.extend(cur - prev)
+        if parent is None:
+            break
+        v = parent
+    return sorted(set(out))
+
+
+class TranscriptsCDFReader(DataSourceStreamReader):
+    def __init__(self, root: str, options: dict):
+        self.root = root
+        sv = options.get("startingversion")
+        self.start_version = int(sv) if sv is not None else _current_version(root)
+        # column set + order pinned at stream start == the declared
+        # schema's (ships to executors inside the pickled reader)
+        m = _manifest_dict(root, _current_version(root))
+        self._col_types = [(n, t) for n, t in m["columns"]]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version(self.root)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        rels = _appended_files(self.root, start["version"], end["version"])
+        return [_FilePartition(os.path.join(self.root, r)) for r in rels] or [
+            _FilePartition("")  # Spark requires >= 1 partition; "" reads empty
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        """EXECUTOR-side: one parquet file -> Arrow RecordBatches
+        projected/padded to the pinned stream schema."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.path:
+            return
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        names = set(tbl.column_names)
+        cols = []
+        fields = []
+        for name, typ in self._arrow_fields():
+            if name in names:
+                cols.append(tbl.column(name).cast(typ).combine_chunks())
+            else:
+                cols.append(pa.nulls(n, type=typ))
+            fields.append(pa.field(name, typ))
+        yield from pa.Table.from_arrays(cols, schema=pa.schema(fields)).to_batches()
+
+    def _arrow_fields(self):
+        import pyarrow as pa
+
+        # mirror of the declared Spark schema (TranscriptsCDF.schema),
+        # in Arrow terms; timestamps are NTZ microseconds
+        name_to_arrow = {
+            "string": pa.string(),
+            "int": pa.int32(),
+            "long": pa.int64(),
+            "float": pa.float32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "timestamp_ntz": pa.timestamp("us"),
+        }
+        out = []
+        for name, tname in self._col_types:
+            out.append((name, name_to_arrow[tname]))
+        out.append((S.LSN_META_COL, pa.int64()))
+        out.append((S.DELETED_META_COL, pa.bool_()))
+        out.append((S.SETMASK_META_COL, pa.list_(pa.string())))
+        return out
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
+class TranscriptsCDF(DataSource):
+    """``spark.readStream.format("transcripts_cdf")`` — see module
+    docstring. Batch ``spark.read`` is intentionally not implemented
+    (table.read/read_changes already cover batch)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts_cdf"
+
+    def schema(self) -> T.StructType:
+        root = self.options["path"]
+        m = _manifest_dict(root, _current_version(root))
+        cols = [(n, S.type_from_name(t)) for n, t in m["columns"]]
+        return S.transcripts_schema(
+            cols, with_lsn=True, with_deleted=True, with_setmask=True
+        )
+
+    def streamReader(self, schema: T.StructType) -> TranscriptsCDFReader:
+        return TranscriptsCDFReader(self.options["path"], dict(self.options))

@@ -1,0 +1,171 @@
+"""Streaming change-data-feed source (cdc/cdf_source.py): the snapshot
+table as a Structured Streaming SOURCE via the Spark 4 Python
+DataSource API — offset = table version, micro-batch = structurally
+appended files, Arrow-batch executor reads."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+from audience_behavior_semantic_etl_spark.cdc.cdf_source import TranscriptsCDF
+from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
+from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+
+def _env(spark, rows):
+    """rows: (lsn, op, conv_id, text)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "conv_id": conv,
+                "turn_idx": 0,
+                "payload": json.dumps(
+                    {"role": "user", "text": text, "tool": None,
+                     "ts": "2025-01-01T00:00:00"}
+                )
+                if op != "delete"
+                else "{}",
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, op, conv, text in rows
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(TranscriptsCDF)
+    return spark
+
+
+def _drain(spark, table, out, ckpt, starting=None):
+    reader = spark.readStream.format("transcripts_cdf").option("path", table.root)
+    if starting is not None:
+        reader = reader.option("startingVersion", starting)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out)
+
+
+def test_cdf_delivers_row_versions_with_meta(registered, tmp_path):
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    apply_batch(_env(spark, [(1, "insert", "a", "A1"), (2, "insert", "b", "B1")]), t, 0, cfg)
+    got = _drain(spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt"), starting=0)
+    assert {"_lsn", "_deleted", "_set"} <= set(got.columns)
+    pdf = got.toPandas().sort_values("_lsn")
+    assert list(pdf["_lsn"]) == [1, 2]
+    assert sorted(pdf["text"]) == ["A1", "B1"]
+
+
+def test_cdf_exactly_once_across_restart_and_compaction(registered, tmp_path):
+    """The checkpointed offset (= table version) must deliver each row
+    version exactly once across a stream restart, and a compaction +
+    tombstone purge in the window must contribute NOTHING (its files
+    are rewrites of already-delivered versions) while the apply after
+    it flows through — the case batch read_changes refuses."""
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    apply_batch(_env(spark, [(1, "insert", "a", "A1"), (2, "insert", "b", "B1")]), t, 0, cfg)
+    _drain(spark, t, out, ckpt, starting=0)
+
+    apply_batch(_env(spark, [(3, "update", "a", "A2"), (4, "delete", "b", "")]), t, 1, cfg)
+    t.compact_buckets(list(range(4)))
+    apply_batch(_env(spark, [(5, "insert", "c", "C1")]), t, 2, cfg)
+    got = _drain(spark, t, out, ckpt).toPandas().sort_values("_lsn")
+    # 5 events total applied -> exactly 5 row versions ever delivered
+    assert list(got["_lsn"]) == [1, 2, 3, 4, 5]
+    assert bool(got[got["_lsn"] == 4]["_deleted"].iloc[0]) is True
+    assert got[got["_lsn"] == 5]["text"].iloc[0] == "C1"
+
+
+def test_cdf_rebucket_invisible_to_stream(registered, tmp_path):
+    """Bucket-count evolution rewrites every file; the stream must not
+    re-deliver a single row version because of it."""
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    apply_batch(_env(spark, [(1, "insert", "a", "A1")]), t, 0, cfg)
+    _drain(spark, t, out, ckpt, starting=0)
+    t.rebucket(8)
+    apply_batch(_env(spark, [(2, "insert", "b", "B1")]), t, 1, cfg)
+    got = _drain(spark, t, out, ckpt).toPandas().sort_values("_lsn")
+    assert list(got["_lsn"]) == [1, 2]
+
+
+def test_cdf_schema_evolution_pads_old_files(registered, tmp_path):
+    """A stream started after ADD COLUMN reads pre-evolution files
+    padded with nulls and post-evolution files with values — the
+    storage-level analog of the table's own evolved-read path."""
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    apply_batch(_env(spark, [(1, "insert", "a", "A1")]), t, 0, cfg)
+    t.add_columns({"tool_name": "string", "tool_latency_ms": "long"})
+    # v2 payload: role/text/tool plus the added tool metadata
+    pdf = pd.DataFrame(
+        [
+            {
+                "lsn": 2,
+                "ts": pd.Timestamp("2025-01-01"),
+                "op": "insert",
+                "conv_id": "b",
+                "turn_idx": 0,
+                "payload": json.dumps(
+                    {
+                        "role": "user",
+                        "text": "B1",
+                        "tool": None,
+                        "ts": "2025-01-01T00:00:00",
+                        "tool_name": "search",
+                        "tool_latency_ms": 42,
+                    }
+                ),
+                "schema_ver": 2,
+                "source_part": 0,
+            }
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    apply_batch(spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA), t, 1, cfg)
+    got = _drain(
+        spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt"), starting=0
+    ).toPandas().sort_values("_lsn")
+    assert list(got["_lsn"]) == [1, 2]
+    assert pd.isna(got["tool_name"].iloc[0]) and got["tool_name"].iloc[1] == "search"
+    assert got["tool_latency_ms"].iloc[1] == 42
+
+
+def test_cdf_metadata_only_window_yields_empty_batch(registered, tmp_path):
+    """A window containing only metadata commits (set_property) has no
+    files — the stream must drain cleanly with zero new rows."""
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    apply_batch(_env(spark, [(1, "insert", "a", "A1")]), t, 0, cfg)
+    _drain(spark, t, out, ckpt, starting=0)
+    t.set_property("note", "metadata only")
+    got = _drain(spark, t, out, ckpt)
+    assert got.count() == 1  # still just the original row
