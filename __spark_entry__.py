@@ -931,6 +931,62 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a STREAMING SOURCE (cdc/cdf_source.py, Spark 4
+    Python DataSource API — the Delta-CDF-readStream analog): two
+    applies land the full log (pre-collapse pinned off so every event
+    becomes a stored row version), a compaction rewrites every bucket
+    BETWEEN stream start and drain, and the change feed is drained via
+    ``readStream.format("transcripts_cdf")`` with availableNow into a
+    parquet sink. Exactly-once across maintenance: the compaction's
+    rewritten files are structurally excluded (a rewriting commit
+    contributes nothing), so the sink holds EXACTLY one row per logged
+    event — the oracle is the whole normalized envelope. The sink is
+    session-scoped (atexit), and the returned frame is the distributed
+    sink read — no driver collect."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.cdf_source import TranscriptsCDF
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-cdf-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(
+        app_id="cdc-cdf",
+        auto_compact=False,
+        shuffle_partitions=8,
+        dedup_churn_threshold=1e18,
+    )
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) != 0), table, 0, cfg)
+    apply_batch(env.filter(F.pmod(F.col("lsn"), F.lit(5)) == 0), table, 1, cfg)
+    table.compact_buckets(list(range(8)), shuffle_partitions=8)
+    spark.dataSource.register(TranscriptsCDF)
+    q = (
+        spark.readStream.format("transcripts_cdf")
+        .option("path", table.root)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{tmp}/sink")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{tmp}/sink").select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("_lsn").alias("lsn"),
+        F.coalesce(F.col("_deleted"), F.lit(False)).alias("deleted"),
+    )
+
+
 def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT-THEN-TAIL BOOTSTRAP through the REAL engine
     (cdc/apply.py bootstrap_snapshot) — how a CDC pipeline starts
@@ -2435,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
         "q_cdc_rebucket": q_cdc_rebucket,  # new round-4 (post-driver-run)
+        "q_cdc_cdf_stream": q_cdc_cdf_stream,  # new round-4 (post-driver-run)
     }
 
 
@@ -2994,6 +3051,17 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
               FROM ev t) u
             WHERE rn = 1 AND is_del = 0
+        """,
+        # Streaming CDF drain across a compaction: exactly one row
+        # version per logged event, rewritten files excluded.
+        "q_cdc_cdf_stream": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE event_type END AS text,
+                   event_id AS lsn,
+                   (event_type = 'error') AS deleted
+            FROM events
         """,
         # CDC-out changelog: exactly the normalized row versions batch 1
         # appended (one per batch-1 event; deletes as tombstones).
