@@ -2395,14 +2395,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_multimodal_features, q_frame_sample_plan, q_as_of_join,
     # q_ann_cosine_topk); the tail stays covered by the pytest
     # oracle-parity replica (tests/test_oracle_parity.py, ALL queries,
-    # every run).
+    # every run). Round 4b: q_cdc_rebucket + q_cdc_cdf_stream enter
+    # the window (both need their first driver row); q_dedup_lww +
+    # q_text_profile (2-3 green rounds each) rotate to the tail.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
         "q_filter_project": q_filter_project,
         "q_join_equi_broadcast": q_join_equi_broadcast,
         "q_join_theta_attribution": q_join_theta_attribution,
-        "q_dedup_lww": q_dedup_lww,
         "q_sessionize": q_sessionize,
         # CDC merge semantics (north_star kernel over oracle-visible data)
         "q_cdc_lww_apply": q_cdc_lww_apply,
@@ -2416,8 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_bootstrap": q_cdc_bootstrap,  # new round-4
         "q_cdc_fanout": q_cdc_fanout,  # new round-4
         "q_cdc_partial_update": q_cdc_partial_update,  # new round-4
+        "q_cdc_rebucket": q_cdc_rebucket,  # new round-4b
+        "q_cdc_cdf_stream": q_cdc_cdf_stream,  # new round-4b
         # training-data pipeline ops
-        "q_text_profile": q_text_profile,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
         "q_dedup_clusters": q_dedup_clusters,  # new round-4
@@ -2490,8 +2492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collect_paths": q_collect_paths,
         "q_flatten_roundtrip": q_flatten_roundtrip,
         "q_rename_nested": q_rename_nested,
-        "q_cdc_rebucket": q_cdc_rebucket,  # new round-4 (post-driver-run)
-        "q_cdc_cdf_stream": q_cdc_cdf_stream,  # new round-4 (post-driver-run)
+        # rotated out in round 4b (2-3 green driver rounds each) to
+        # admit q_cdc_rebucket / q_cdc_cdf_stream into the window
+        "q_dedup_lww": q_dedup_lww,
+        "q_text_profile": q_text_profile,
     }
 
 
