@@ -201,3 +201,52 @@ def test_agg_schema_change_triggers_full_refresh(spark, split_log, tmp_path):
         agg(table.read_final()).toPandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_stream_refresh_survives_compaction_without_full_rescan(
+    spark, split_log, tmp_path, monkeypatch
+):
+    """Streaming refresh off the CDF source: a compaction between
+    drains must NOT force the O(table) full-rescan fallback (the
+    stream excludes rewriting commits), and the view must still match
+    the full recompute after the post-compaction batch."""
+    b0, b1 = split_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    view = IncrementalView(table, str(tmp_path / "v"), _agg)
+    ckpt = str(tmp_path / "ckpt")
+
+    apply_batch(_envelope_df(spark, b0), table, 0)
+    q = view.stream_refresh(ckpt)  # bootstrap full + drain (no-op window)
+    q.awaitTermination(180)
+    pd.testing.assert_frame_equal(_got(view), _expect(table))
+
+    # forbid the fallback from here on: stream refresh must never full
+    def _no_full(cur):
+        raise AssertionError("full rescan must not happen on the stream path")
+
+    monkeypatch.setattr(view, "_full", _no_full)
+    buckets = [int(b) for b, fs in table.manifest().buckets.items() if fs]
+    table.compact_buckets(buckets)
+    apply_batch(_envelope_df(spark, b1), table, 1)
+    q = view.stream_refresh(ckpt)
+    q.awaitTermination(180)
+    pd.testing.assert_frame_equal(_got(view), _expect(table))
+    assert view.synced_version() == table.manifest().version
+
+
+def test_stream_refresh_idempotent_redelivery(spark, split_log, tmp_path):
+    """Wiping the checkpoint re-delivers the whole feed; the recompute
+    design must converge to the identical view (crash-healing)."""
+    import shutil as _sh
+
+    b0, b1 = split_log
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    view = IncrementalView(table, str(tmp_path / "v"), _agg)
+    apply_batch(_envelope_df(spark, b0), table, 0)
+    apply_batch(_envelope_df(spark, b1), table, 1)
+    view.stream_refresh(str(tmp_path / "c1")).awaitTermination(180)
+    before = _got(view)
+    # lost checkpoint -> full re-delivery from the bootstrap version
+    view.stream_refresh(str(tmp_path / "c2")).awaitTermination(180)
+    pd.testing.assert_frame_equal(_got(view), before)
+    pd.testing.assert_frame_equal(_got(view), _expect(table))
