@@ -111,6 +111,9 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         self.root = root
         sv = options.get("startingversion")
         self.start_version = int(sv) if sv is not None else _current_version(root)
+        mv = options.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self._last_end: int | None = None
         # column set + order pinned at stream start == the declared
         # schema's (ships to executors inside the pickled reader)
         m = _manifest_dict(root, _current_version(root))
@@ -120,7 +123,31 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _current_version(self.root)}
+        """Admission control via ``maxVersionsPerTrigger``: a stream
+        (re)starting far behind a long commit history must not take
+        the whole backlog as ONE micro-batch (unbounded task count +
+        state in a single trigger at 10^5 commits). The cap is applied
+        against the previous trigger's end offset; the first trigger
+        after a checkpointed restart is uncapped (this reader never
+        sees the checkpointed offset before latestOffset — the
+        documented Python-DataSource limitation), so the cap bounds
+        steady-state and initial-sync batches, which is where backlog
+        actually accumulates.
+
+        Trigger interplay: in continuous/processingTime mode each
+        trigger takes at most the cap (the steady-state admission
+        control this option is for). Under ``availableNow`` Spark
+        captures latestOffset ONCE at start, so a capped stream drains
+        exactly one bounded batch per ``start()`` — callers doing
+        capped catch-up drains should loop start()/awaitTermination
+        until the synced version stops advancing, or run uncapped."""
+        cur = _current_version(self.root)
+        if self.max_versions is None:
+            return {"version": cur}
+        base = self._last_end if self._last_end is not None else self.start_version
+        end = min(cur, base + self.max_versions)
+        self._last_end = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         rels = _appended_files(self.root, start["version"], end["version"])

@@ -169,3 +169,47 @@ def test_cdf_metadata_only_window_yields_empty_batch(registered, tmp_path):
     t.set_property("note", "metadata only")
     got = _drain(spark, t, out, ckpt)
     assert got.count() == 1  # still just the original row
+
+
+def test_cdf_max_versions_per_trigger_bounds_batches(registered, tmp_path):
+    """Admission control: a CONTINUOUS stream starting behind N commits
+    with maxVersionsPerTrigger=2 must deliver the backlog as MULTIPLE
+    bounded micro-batches (steady-state catch-up), still exactly-once.
+    (Under availableNow Spark captures latestOffset once, so a capped
+    stream drains one bounded batch per start() — documented.)"""
+    import threading
+    import time
+
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    for i in range(6):
+        apply_batch(_env(spark, [(i + 1, "insert", f"c{i}", f"T{i}")]), t, i, cfg)
+    seen = []
+    done = threading.Event()
+
+    def _count(df, bid):
+        n = df.count()
+        if n:
+            seen.append(n)
+        if sum(seen) >= 6:
+            done.set()
+
+    q = (
+        spark.readStream.format("transcripts_cdf")
+        .option("path", t.root)
+        .option("startingVersion", 0)
+        .option("maxVersionsPerTrigger", 2)
+        .load()
+        .writeStream.foreachBatch(_count)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()  # default processingTime trigger: keeps polling
+    )
+    try:
+        assert done.wait(180), f"backlog not drained, saw {seen}"
+        time.sleep(2)  # allow any in-flight extra trigger to land
+    finally:
+        q.stop()
+    assert sum(seen) == 6, "full backlog delivered exactly once"
+    assert len(seen) >= 3, f"expected >=3 bounded batches, got {seen}"
+    assert max(seen) <= 2
