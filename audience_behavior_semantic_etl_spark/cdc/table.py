@@ -321,9 +321,16 @@ class SnapshotTable:
             return resolved
         return resolved.drop(S.DELETED_META_COL)
 
-    def read_final(self, version: int | None = None) -> DataFrame:
+    def read_final(
+        self, version: int | None = None, tag: str | None = None
+    ) -> DataFrame:
         """User-facing view: LWW-resolved, tombstones filtered,
-        metadata columns dropped. ``version`` time-travels."""
+        metadata columns dropped. ``version`` time-travels; ``tag``
+        resolves a named pin (create_tag) to its version."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            version = self.resolve_tag(tag)
         df = self.read(with_deleted=True, version=version)
         return df.filter(~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))).drop(
             S.LSN_META_COL, S.DELETED_META_COL
@@ -726,6 +733,71 @@ class SnapshotTable:
 
         self._with_commit_lock(run)
 
+    # ------------------------------------------------------------ tags
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a committed version under an immutable NAME (the Iceberg
+        snapshot-tag analog): audit pins, reproducibility pins ("the
+        table as training run X saw it"), rollback anchors. A tagged
+        version is PROTECTED from retention — ``gc_orphans`` /
+        ``startup_maintenance`` keep its manifest and data files alive
+        regardless of ``keep_versions`` — so time travel to it works
+        until ``drop_tag``. Tag names are single-assignment (re-tagging
+        raises; drop first) because downstream consumers treat a tag as
+        an immutable fact. Returns the pinned version."""
+
+        def run() -> int:
+            m = self.manifest()
+            v = m.version if version is None else int(version)
+            # the tagged manifest must actually be readable
+            self.manifest(v)
+            tags = m.properties.setdefault("tags", {})
+            if name in tags:
+                raise ValueError(
+                    f"tag {name!r} already pins v{tags[name]}; drop_tag first"
+                )
+            tags[name] = v
+            m.parent = m.version
+            m.version += 1
+            m.snapshot_id = uuid.uuid4().hex
+            m.lineage.append(
+                {"op": "create_tag", "tag": name, "pinned_version": v,
+                 "snapshot_id": m.snapshot_id}
+            )
+            self._write_manifest(m)
+            return v
+
+        return self._with_commit_lock(run)
+
+    def drop_tag(self, name: str) -> None:
+        """Release a tag; its version re-enters normal retention and the
+        next GC pass may expire it."""
+
+        def run() -> None:
+            m = self.manifest()
+            tags = m.properties.get("tags", {})
+            if name not in tags:
+                raise ValueError(f"no such tag {name!r}")
+            del tags[name]
+            m.parent = m.version
+            m.version += 1
+            m.snapshot_id = uuid.uuid4().hex
+            m.lineage.append(
+                {"op": "drop_tag", "tag": name, "snapshot_id": m.snapshot_id}
+            )
+            self._write_manifest(m)
+
+        self._with_commit_lock(run)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self.manifest().properties.get("tags", {}))
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.manifest().properties.get("tags", {})
+        if name not in tags:
+            raise ValueError(f"no such tag {name!r}")
+        return int(tags[name])
+
     def _commit(
         self,
         mutate,
@@ -985,10 +1057,15 @@ class SnapshotTable:
         batch committed — permanent silent loss. An hour-old staging
         dir can only be a crashed writer (a healthy batch commits in
         seconds). Pass 0 only when the caller KNOWS no writer is live."""
-        cur = self.manifest().version
-        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        head = self.manifest()
+        cur = head.version
+        keep_set = set(range(max(0, cur - keep_versions + 1), cur + 1))
+        # tagged versions are retention-PROTECTED (Iceberg tag
+        # semantics): their manifests and files survive any
+        # keep_versions until drop_tag
+        keep_set.update(int(v) for v in head.properties.get("tags", {}).values())
         referenced: set[str] = set()
-        for v in keep:
+        for v in sorted(keep_set):
             try:
                 m = self.manifest(v)
             except FileNotFoundError:
@@ -1005,7 +1082,7 @@ class SnapshotTable:
         man_dir = os.path.join(self.root, "_manifests")
         for fn in os.listdir(man_dir):
             v = int(fn[1:-5])  # v{N}.json
-            if v < keep.start:
+            if v < max(0, cur - keep_versions + 1) and v not in keep_set:
                 os.remove(os.path.join(man_dir, fn))
         # clear abandoned staging dirs (crashed writes) — but only past
         # the grace window, never an in-flight writer's dir (see docstring)

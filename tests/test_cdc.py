@@ -1351,3 +1351,44 @@ def test_file_stats_time_travel_era_correct(spark, tmp_path):
     assert set(m.properties["file_stats"]) == {
         f for fs in m.buckets.values() for f in fs
     }
+
+
+# ----------------------------------------------------------------- tags
+
+def test_tag_protects_version_from_gc(spark, tmp_path):
+    """A tagged version survives compaction + aggressive GC: its
+    manifest and data files stay readable (Iceberg tag retention),
+    while untagged history expires; drop_tag releases it."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_conv_events([(1, "aaa", "A")])), t, 0)
+    v_pin = t.create_tag("audit")
+    pinned_state = [r["text"] for r in t.read_final(tag="audit").collect()]
+    assert pinned_state == ["A"]
+    # advance: overwrite the row, compact, GC hard
+    apply_batch(_envelope_df(spark, _mk_conv_events([(2, "aaa", "B")])), t, 1)
+    t.compact_buckets([0, 1])
+    t.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    # tagged version still fully readable after its files left the head
+    assert [r["text"] for r in t.read_final(tag="audit").collect()] == ["A"]
+    assert t.tags() == {"audit": v_pin}
+    # current state unaffected
+    assert [r["text"] for r in t.read_final().collect()] == ["B"]
+    # re-tagging the same name is refused
+    with pytest.raises(ValueError, match="already pins"):
+        t.create_tag("audit")
+    # release -> next GC expires the old files
+    t.drop_tag("audit")
+    t.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    with pytest.raises(Exception):
+        t.read_final(version=v_pin).collect()
+
+
+def test_tag_unknown_and_bad_version(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_envelope_df(spark, _mk_conv_events([(1, "aaa", "A")])), t, 0)
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("nope", version=99)
+    with pytest.raises(ValueError, match="no such tag"):
+        t.resolve_tag("ghost")
+    with pytest.raises(ValueError, match="no such tag"):
+        t.drop_tag("ghost")
