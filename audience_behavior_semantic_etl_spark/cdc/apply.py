@@ -109,6 +109,18 @@ class ApplyConfig:
     delta_write_options: dict[str, str] = field(
         default_factory=lambda: {"parquet.compression.codec.zstd.level": "1"}
     )
+    # WRITE-AUDIT-PUBLISH: when True the batch is STAGED invisibly
+    # (table.stage_wap under wap id f"{app_id}:{batch_id}") instead of
+    # committed — readers see nothing, the exactly-once ledger does not
+    # advance, and an auditor publishes or rejects via
+    # table.publish_wap / reject_wap. Re-delivery of a staged batch
+    # re-stages the same id idempotently (old staged files -> GC).
+    wap_mode: bool = False
+
+
+def wap_id_for(app_id: str, batch_id: int) -> str:
+    """The wap id apply_batch stages under in wap_mode."""
+    return f"{app_id}:{batch_id}"
 
 
 def winners_schema(table: SnapshotTable) -> T.StructType:
@@ -696,24 +708,36 @@ def apply_batch(
             if not (seen <= prev):
                 table.set_property("patched_columns", sorted(prev | seen))
 
-        snapshot = table.commit_append_deltas(
-            staged_dir=staged,
-            affected_buckets=affected,
-            app_id=cfg.app_id,
-            batch_id=batch_id,
-            watermarks=watermarks,
-            lineage_row={
-                "batch_id": batch_id,
-                "rows": int(n_data),
-                "upserts": int(row_metrics["upserts"] or 0),
-                "deletes": int(row_metrics["deletes"] or 0),
-                "lsn_min": int(lsn_min),
-                "lsn_max": int(lsn_max),
-                "hot_keys": len(hot),
-                "deduped": bool(deduped),
-                "malformed": n_malformed,
-            },
-        )
+        lineage_row = {
+            "batch_id": batch_id,
+            "rows": int(n_data),
+            "upserts": int(row_metrics["upserts"] or 0),
+            "deletes": int(row_metrics["deletes"] or 0),
+            "lsn_min": int(lsn_min),
+            "lsn_max": int(lsn_max),
+            "hot_keys": len(hot),
+            "deduped": bool(deduped),
+            "malformed": n_malformed,
+        }
+        if cfg.wap_mode:
+            snapshot = table.stage_wap(
+                wap_id_for(cfg.app_id, batch_id),
+                staged_dir=staged,
+                affected_buckets=affected,
+                app_id=cfg.app_id,
+                batch_id=batch_id,
+                watermarks=watermarks,
+                lineage_row=lineage_row,
+            )
+        else:
+            snapshot = table.commit_append_deltas(
+                staged_dir=staged,
+                affected_buckets=affected,
+                app_id=cfg.app_id,
+                batch_id=batch_id,
+                watermarks=watermarks,
+                lineage_row=lineage_row,
+            )
 
         _phase("commit")
 

@@ -798,6 +798,130 @@ class SnapshotTable:
             raise ValueError(f"no such tag {name!r}")
         return int(tags[name])
 
+    # ------------------------------------------------------------ WAP
+
+    def stage_wap(
+        self,
+        wap_id: str,
+        staged_dir: str | None,
+        affected_buckets: list[int],
+        app_id: str,
+        batch_id: int,
+        watermarks: dict[str, int],
+        lineage_row: dict[str, Any],
+    ) -> str:
+        """WRITE-AUDIT-PUBLISH, stage phase (the Iceberg ``wap.id``
+        staged-snapshot pattern): adopt the batch's delta files into
+        data/ but record them under ``properties["wap"][wap_id]``
+        instead of the bucket lists — INVISIBLE to every reader, ledger
+        and watermarks NOT advanced. An auditor inspects the would-be
+        state with ``read_wap``; ``publish_wap`` then merges the files
+        and advances exactly-once state atomically, or ``reject_wap``
+        discards them. Batch-level quality gating, complementing the
+        row-level quarantine path.
+
+        Re-staging an existing ``wap_id`` REPLACES it (the previous
+        staged files become GC orphans): the id is derived from
+        (app, batch), so stream re-delivery of a staged-but-unpublished
+        batch is idempotent. Staged files are retention-protected
+        (gc_orphans keeps every live WAP's files) until published or
+        rejected."""
+        adoption = uuid.uuid4().hex
+        adopted = self._adopt_staged(staged_dir, affected_buckets, adoption)
+        stats = self._collect_file_stats([r for rs in adopted.values() for r in rs])
+        snapshot = uuid.uuid4().hex
+
+        def run() -> str:
+            m = self.manifest()
+            waps = m.properties.setdefault("wap", {})
+            waps[wap_id] = {
+                "buckets": {b: rels for b, rels in adopted.items() if rels},
+                "file_stats": stats,
+                "app_id": app_id,
+                "batch_id": batch_id,
+                "watermarks": {str(k): int(v) for k, v in watermarks.items()},
+                "lineage": lineage_row,
+            }
+            m.parent = m.version
+            m.version += 1
+            old = m.snapshot_id
+            m.snapshot_id = snapshot
+            m.lineage.append(
+                {"op": "wap_stage", "wap_id": wap_id, "batch_id": batch_id,
+                 "snapshot_id": snapshot, "parent_snapshot": old}
+            )
+            self._write_manifest(m)
+            return snapshot
+
+        return self._with_commit_lock(run)
+
+    def waps(self) -> dict[str, dict]:
+        return dict(self.manifest().properties.get("wap", {}))
+
+    def _wap_entry(self, wap_id: str) -> dict:
+        w = self.manifest().properties.get("wap", {}).get(wap_id)
+        if w is None:
+            raise ValueError(f"no staged WAP {wap_id!r}")
+        return w
+
+    def read_wap(self, wap_id: str) -> DataFrame:
+        """Audit view: the final state the table WOULD have if
+        ``wap_id`` were published — current files plus the staged
+        ones, fully resolved (LWW / column-fold, tombstones filtered).
+        Reads only; publishes nothing."""
+        m = self.manifest()
+        w = self._wap_entry(wap_id)
+        rels = [f for fs in m.buckets.values() for f in fs] + [
+            f for fs in w["buckets"].values() for f in fs
+        ]
+        return self._resolve_final(self._read_rel_files(m, rels), m)
+
+    def publish_wap(self, wap_id: str) -> str:
+        """Atomically merge the staged files into the bucket lists AND
+        advance the exactly-once ledger / watermarks — from this commit
+        on, the batch is indistinguishable from a direct apply (same
+        lineage fields, op-tagged), and its re-delivery no-ops."""
+        w = self._wap_entry(wap_id)
+
+        def mutate(m: Manifest) -> None:
+            cur = m.properties.get("wap", {}).get(wap_id)
+            if cur is None:
+                raise ValueError(f"WAP {wap_id!r} vanished (already published/rejected?)")
+            for b, rels in cur["buckets"].items():
+                m.buckets[b] = list(m.buckets.get(b, [])) + rels
+            m.properties.setdefault("file_stats", {}).update(cur.get("file_stats", {}))
+            del m.properties["wap"][wap_id]
+
+        return self._commit(
+            mutate,
+            w["app_id"],
+            int(w["batch_id"]),
+            {k: int(v) for k, v in w["watermarks"].items()},
+            {**w["lineage"], "op": "wap_publish", "wap_id": wap_id},
+        )
+
+    def reject_wap(self, wap_id: str) -> None:
+        """Discard a staged batch: the entry is dropped (its files
+        become GC orphans), the ledger never advances — the auditor
+        decided the batch must not land. Re-delivery of the same batch
+        re-applies (and re-stages) it."""
+        self._wap_entry(wap_id)
+
+        def run() -> None:
+            m = self.manifest()
+            if wap_id not in m.properties.get("wap", {}):
+                raise ValueError(f"WAP {wap_id!r} vanished (already published/rejected?)")
+            del m.properties["wap"][wap_id]
+            m.parent = m.version
+            m.version += 1
+            m.snapshot_id = uuid.uuid4().hex
+            m.lineage.append(
+                {"op": "wap_reject", "wap_id": wap_id, "snapshot_id": m.snapshot_id}
+            )
+            self._write_manifest(m)
+
+        self._with_commit_lock(run)
+
     def _commit(
         self,
         mutate,
@@ -1065,6 +1189,10 @@ class SnapshotTable:
         # keep_versions until drop_tag
         keep_set.update(int(v) for v in head.properties.get("tags", {}).values())
         referenced: set[str] = set()
+        # staged-but-unpublished WAP batches are live state, not orphans
+        for w in head.properties.get("wap", {}).values():
+            for fs in w.get("buckets", {}).values():
+                referenced.update(fs)
         for v in sorted(keep_set):
             try:
                 m = self.manifest(v)

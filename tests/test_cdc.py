@@ -1392,3 +1392,89 @@ def test_tag_unknown_and_bad_version(spark, tmp_path):
         t.resolve_tag("ghost")
     with pytest.raises(ValueError, match="no such tag"):
         t.drop_tag("ghost")
+
+
+# ------------------------------------------------------------------ WAP
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a wap_mode apply is INVISIBLE (state,
+    ledger, watermarks untouched), read_wap previews the would-be
+    state, publish lands it atomically, and re-delivery then no-ops."""
+    from audience_behavior_semantic_etl_spark.cdc.apply import wap_id_for
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="wap", auto_compact=False, shuffle_partitions=4)
+    wcfg = ApplyConfig(app_id="wap", auto_compact=False, shuffle_partitions=4,
+                       wap_mode=True)
+    apply_batch(_envelope_df(spark, _mk_conv_events([(1, "aaa", "A")])), t, 0, cfg)
+    apply_batch(
+        _envelope_df(spark, _mk_conv_events([(2, "aaa", "A2"), (3, "bbb", "B")])),
+        t, 1, wcfg,
+    )
+    # invisible: reader state and exactly-once ledger unchanged
+    assert [r["text"] for r in t.read_final().collect()] == ["A"]
+    assert not t.is_batch_committed("wap", 1)
+    wid = wap_id_for("wap", 1)
+    audit = {r["conv_id"]: r["text"] for r in t.read_wap(wid).collect()}
+    assert audit == {"aaa": "A2", "bbb": "B"}
+    t.publish_wap(wid)
+    got = {r["conv_id"]: r["text"] for r in t.read_final().collect()}
+    assert got == {"aaa": "A2", "bbb": "B"}
+    assert t.is_batch_committed("wap", 1)
+    assert apply_batch(
+        _envelope_df(spark, _mk_conv_events([(2, "aaa", "A2"), (3, "bbb", "B")])),
+        t, 1, wcfg,
+    ).skipped
+    assert t.waps() == {}
+    assert t.manifest().lineage[-1]["op"] == "wap_publish"
+
+
+def test_wap_reject_then_redelivery_applies(spark, tmp_path):
+    """Rejecting a staged batch drops it (files GC-protected while
+    staged, orphaned after) and leaves the ledger behind, so the
+    stream's re-delivery re-applies the batch for real."""
+    from audience_behavior_semantic_etl_spark.cdc.apply import wap_id_for
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="wap", auto_compact=False, shuffle_partitions=4)
+    wcfg = ApplyConfig(app_id="wap", auto_compact=False, shuffle_partitions=4,
+                       wap_mode=True)
+    apply_batch(_envelope_df(spark, _mk_conv_events([(1, "aaa", "A")])), t, 0, cfg)
+    apply_batch(_envelope_df(spark, _mk_conv_events([(2, "bbb", "BAD")])), t, 1, wcfg)
+    wid = wap_id_for("wap", 1)
+    staged_files = [f for fs in t.waps()[wid]["buckets"].values() for f in fs]
+    assert staged_files
+    # staged files survive GC while the WAP is live
+    deleted = t.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    assert not set(deleted) & set(staged_files)
+    t.reject_wap(wid)
+    assert [r["text"] for r in t.read_final().collect()] == ["A"]
+    deleted = t.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    assert set(staged_files) <= set(deleted), "rejected files reclaimed"
+    # re-delivery is NOT skipped (ledger never advanced); a direct
+    # apply of the fixed batch lands
+    m = apply_batch(_envelope_df(spark, _mk_conv_events([(2, "bbb", "GOOD")])), t, 1, cfg)
+    assert not m.skipped
+    assert sorted(r["text"] for r in t.read_final().collect()) == ["A", "GOOD"]
+
+
+def test_wap_restage_is_idempotent(spark, tmp_path):
+    """Re-delivery of a staged-but-unpublished batch re-stages the same
+    wap id, replacing the previous staged files (no double delivery on
+    publish)."""
+    from audience_behavior_semantic_etl_spark.cdc.apply import wap_id_for
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    wcfg = ApplyConfig(app_id="wap", auto_compact=False, shuffle_partitions=4,
+                       wap_mode=True)
+    env = _envelope_df(spark, _mk_conv_events([(1, "aaa", "A")]))
+    apply_batch(env, t, 0, wcfg)
+    first_files = [f for fs in t.waps()[wap_id_for("wap", 0)]["buckets"].values() for f in fs]
+    apply_batch(env, t, 0, wcfg)  # re-delivered before publish
+    assert len(t.waps()) == 1
+    t.publish_wap(wap_id_for("wap", 0))
+    got = t.read_final().toPandas()
+    assert list(got["text"]) == ["A"], "published exactly once"
+    # the first staging's files are orphans now
+    deleted = t.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    assert set(first_files) <= set(deleted)
