@@ -1169,6 +1169,51 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "text")
 
 
+def q_cdc_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through the real engine (table.stage_wap /
+    publish_wap / reject_wap, the Iceberg wap.id staged-snapshot
+    pattern): batch 0 lands directly; batch 1 (lsn % 5 == 0, lsn % 2
+    == 0) is staged in wap_mode, AUDITED via read_wap, and PUBLISHED;
+    batch 2 (lsn % 5 == 0, odd) is staged and REJECTED. The oracle is
+    full-log LWW over everything EXCEPT the rejected slice — so the row
+    only hashes green if staging was invisible until publish, publish
+    was atomic + ledger-advancing, and the rejected batch left zero
+    rows behind. An audit assertion inside the query pins read_wap's
+    preview semantics (would-be state ⊇ published state)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import (
+        ApplyConfig,
+        apply_batch,
+        wap_id_for,
+    )
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-wap-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-wap", auto_compact=False, shuffle_partitions=8)
+    wcfg = ApplyConfig(
+        app_id="cdc-wap", auto_compact=False, shuffle_partitions=8, wap_mode=True
+    )
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    five = F.pmod(F.col("lsn"), F.lit(5)) == 0
+    even = F.pmod(F.col("lsn"), F.lit(2)) == 0
+    apply_batch(env.filter(~five), table, 0, cfg)
+    n_before = table.read_final().count()
+    apply_batch(env.filter(five & even), table, 1, wcfg)
+    assert table.read_final().count() == n_before, "staging must be invisible"
+    assert not table.is_batch_committed("cdc-wap", 1)
+    assert table.read_wap(wap_id_for("cdc-wap", 1)).count() >= n_before - 1
+    table.publish_wap(wap_id_for("cdc-wap", 1))
+    assert table.is_batch_committed("cdc-wap", 1)
+    apply_batch(env.filter(five & ~even), table, 2, wcfg)
+    table.reject_wap(wap_id_for("cdc-wap", 2))
+    return table.read_final().select("conv_id", "turn_idx", "text")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2496,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # admit q_cdc_rebucket / q_cdc_cdf_stream into the window
         "q_dedup_lww": q_dedup_lww,
         "q_text_profile": q_text_profile,
+        "q_cdc_wap": q_cdc_wap,  # new round-4b (tail; pytest parity)
     }
 
 
@@ -3050,6 +3096,23 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
                      event_type AS text
               FROM events)
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT t.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev t) u
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # WAP: published batches land, the rejected slice (lsn%5==0 and
+        # odd) leaves zero rows — LWW over everything else.
+        "q_cdc_wap": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events
+              WHERE NOT (event_id % 5 = 0 AND event_id % 2 = 1))
             SELECT conv_id, turn_idx, text FROM (
               SELECT t.*, row_number() OVER (
                   PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
