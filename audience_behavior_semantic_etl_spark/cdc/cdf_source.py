@@ -68,8 +68,9 @@ from audience_behavior_semantic_etl_spark.cdc import schema as S
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, commit_version: int = -1):
         self.path = path
+        self.commit_version = commit_version
 
 
 def _manifest_dict(root: str, version: int) -> dict:
@@ -82,12 +83,15 @@ def _current_version(root: str) -> int:
         return int(f.read().strip())
 
 
-def _appended_files(root: str, start: int, end: int) -> list[str]:
-    """Files appended by append-only commits in versions (start, end],
-    newest-first walk over the manifest chain (same traversal as
-    table.read_changes, but maintenance windows are SKIPPED, not
-    refused — see module docstring)."""
-    out: list[str] = []
+def _appended_files(root: str, start: int, end: int) -> list[tuple[str, int]]:
+    """(file, commit version) pairs appended by append-only commits in
+    versions (start, end], newest-first walk over the manifest chain
+    (same traversal as table.read_changes, but maintenance windows are
+    SKIPPED, not refused — see module docstring). The commit version
+    rides into the stream as ``_commit_version`` (the Delta CDF
+    ``_commit_version`` analog) so consumers can order and window by
+    commit without re-deriving it from LSNs."""
+    out: list[tuple[str, int]] = []
     v = end
     while v > start:
         man = _manifest_dict(root, v)
@@ -99,11 +103,14 @@ def _appended_files(root: str, start: int, end: int) -> list[str]:
         )
         cur = {f for fs in man["buckets"].values() for f in fs}
         if not (prev - cur):  # pure append (or metadata-only): deliver
-            out.extend(cur - prev)
+            out.extend((f, v) for f in cur - prev)
         if parent is None:
             break
         v = parent
-    return sorted(set(out))
+    seen: dict[str, int] = {}
+    for f, v in out:
+        seen.setdefault(f, v)
+    return sorted(seen.items())
 
 
 class TranscriptsCDFReader(DataSourceStreamReader):
@@ -151,7 +158,9 @@ class TranscriptsCDFReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         rels = _appended_files(self.root, start["version"], end["version"])
-        return [_FilePartition(os.path.join(self.root, r)) for r in rels] or [
+        return [
+            _FilePartition(os.path.join(self.root, r), v) for r, v in rels
+        ] or [
             _FilePartition("")  # Spark requires >= 1 partition; "" reads empty
         ]
 
@@ -169,7 +178,9 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         cols = []
         fields = []
         for name, typ in self._arrow_fields():
-            if name in names:
+            if name == "_commit_version":
+                cols.append(pa.array([partition.commit_version] * n, type=typ))
+            elif name in names:
                 cols.append(tbl.column(name).cast(typ).combine_chunks())
             else:
                 cols.append(pa.nulls(n, type=typ))
@@ -196,6 +207,7 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         out.append((S.LSN_META_COL, pa.int64()))
         out.append((S.DELETED_META_COL, pa.bool_()))
         out.append((S.SETMASK_META_COL, pa.list_(pa.string())))
+        out.append(("_commit_version", pa.int64()))
         return out
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
@@ -215,8 +227,12 @@ class TranscriptsCDF(DataSource):
         root = self.options["path"]
         m = _manifest_dict(root, _current_version(root))
         cols = [(n, S.type_from_name(t)) for n, t in m["columns"]]
-        return S.transcripts_schema(
+        base = S.transcripts_schema(
             cols, with_lsn=True, with_deleted=True, with_setmask=True
+        )
+        # .add would MUTATE a shared receiver; build fresh
+        return T.StructType(
+            list(base.fields) + [T.StructField("_commit_version", T.LongType(), True)]
         )
 
     def streamReader(self, schema: T.StructType) -> TranscriptsCDFReader:

@@ -70,10 +70,13 @@ def test_cdf_delivers_row_versions_with_meta(registered, tmp_path):
     cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
     apply_batch(_env(spark, [(1, "insert", "a", "A1"), (2, "insert", "b", "B1")]), t, 0, cfg)
     got = _drain(spark, t, str(tmp_path / "out"), str(tmp_path / "ckpt"), starting=0)
-    assert {"_lsn", "_deleted", "_set"} <= set(got.columns)
+    assert {"_lsn", "_deleted", "_set", "_commit_version"} <= set(got.columns)
     pdf = got.toPandas().sort_values("_lsn")
     assert list(pdf["_lsn"]) == [1, 2]
     assert sorted(pdf["text"]) == ["A1", "B1"]
+    # both rows landed in the same apply commit (Delta CDF
+    # _commit_version analog): one version, > 0
+    assert pdf["_commit_version"].nunique() == 1 and pdf["_commit_version"].min() > 0
 
 
 def test_cdf_exactly_once_across_restart_and_compaction(registered, tmp_path):
