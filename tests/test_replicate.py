@@ -1,0 +1,120 @@
+"""Table-to-table streaming replication (cdc/replicate.py): source
+table → CDF stream → envelope re-translation → apply into a replica."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+from audience_behavior_semantic_etl_spark.cdc.demo import check_equal, table_to_pandas
+from audience_behavior_semantic_etl_spark.cdc.gen import (
+    GenConfig,
+    expected_final_state,
+    generate_change_log,
+)
+from audience_behavior_semantic_etl_spark.cdc.replicate import replicate_stream
+from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
+from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+
+def _envelope_df(spark, pdf: pd.DataFrame):
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def gen_log():
+    log = generate_change_log(GenConfig(seed=23, n_convs=40))
+    return log, expected_final_state(log)
+
+
+def _cfg(app):
+    return ApplyConfig(app_id=app, auto_compact=False, shuffle_partitions=4)
+
+
+def test_replica_converges_to_source_final_state(spark, gen_log, tmp_path):
+    """Full generator log (inserts/updates/deletes, unicode payloads)
+    applied to A in two batches; replicate A → B; B's final state must
+    equal A's AND the pandas oracle — bit-equal per-turn text."""
+    log, oracle = gen_log
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=4)
+    cut = len(log) // 2
+    apply_batch(_envelope_df(spark, log.iloc[:cut]), a, 0, _cfg("src"))
+    apply_batch(_envelope_df(spark, log.iloc[cut:]), a, 1, _cfg("src"))
+    q = replicate_stream(a, b, str(tmp_path / "ckpt"), apply_cfg=_cfg("replica"))
+    q.awaitTermination(300)
+    check_equal(table_to_pandas(b), oracle)
+    check_equal(table_to_pandas(b), table_to_pandas(a))
+
+
+def test_replica_incremental_and_maintenance_independent(spark, gen_log, tmp_path):
+    """Second drain ships only the new batch; a compaction on the
+    SOURCE between drains doesn't re-deliver, and a compaction on the
+    REPLICA doesn't disturb convergence."""
+    log, oracle = gen_log
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=4)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    cut = len(log) // 2
+    apply_batch(_envelope_df(spark, log.iloc[:cut]), a, 0, _cfg("src"))
+    replicate_stream(a, b, ckpt, apply_cfg=_cfg("replica")).awaitTermination(300)
+    b.compact_buckets(list(range(4)))
+    a.compact_buckets(list(range(4)))
+    apply_batch(_envelope_df(spark, log.iloc[cut:]), a, 1, _cfg("src"))
+    replicate_stream(a, b, ckpt, apply_cfg=_cfg("replica")).awaitTermination(300)
+    check_equal(table_to_pandas(b), oracle)
+
+
+def _sparse_env(spark, rows):
+    """rows: (lsn, op, payload_dict_or_none)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "conv_id": "conv-p",
+                "turn_idx": 0,
+                "payload": json.dumps(payload) if payload is not None else "{}",
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, op, payload in rows
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+
+def test_replica_preserves_partial_update_semantics(spark, tmp_path):
+    """Patches cross the pipe as sparse envelopes with EXPLICIT nulls
+    preserved (the to_json-cannot-say-null case): an explicit-null
+    role patch must null the replica's role, not resurrect the base's
+    value, and the omitted column must keep it."""
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=2)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    apply_batch(
+        _sparse_env(spark, [
+            (1, "insert", {"role": "user", "text": "A", "tool": "w",
+                           "ts": "2025-01-01T00:00:00"}),
+        ]),
+        a, 0, _cfg("src"),
+    )
+    apply_batch(
+        _sparse_env(spark, [
+            (2, "update_partial", {"role": None, "text": "B"}),
+        ]),
+        a, 1, _cfg("src"),
+    )
+    q = replicate_stream(a, b, str(tmp_path / "ckpt"), apply_cfg=_cfg("replica"))
+    q.awaitTermination(300)
+    assert b.manifest().properties.get("has_partial") is True
+    row = b.read_final().collect()[0]
+    assert (row["role"], row["text"], row["tool"]) == (None, "B", "w")
+    src = a.read_final().collect()[0]
+    assert (src["role"], src["text"], src["tool"]) == (None, "B", "w")
