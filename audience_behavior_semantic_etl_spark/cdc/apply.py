@@ -131,12 +131,16 @@ def winners_schema(table: SnapshotTable) -> T.StructType:
     return S.transcripts_schema(cols, with_lsn=True, with_deleted=True, with_setmask=True)
 
 
-def _payload_paths(name: str) -> list[tuple[str, ...]]:
+def _payload_paths(name: str, former: list[str] | None = None) -> list[tuple[str, ...]]:
     """Flatten paths that land in target column ``name``, in priority
-    order: direct key first, then ``tool_* <- tool_meta.*`` (the
+    order: direct key first, then the column's FORMER names (rename
+    history — pre-rename payloads keep landing here, so re-delivered
+    events stay identical), then ``tool_* <- tool_meta.*`` (the
     reference's dotted-path rename, RenameColumns.scala:54), then
     generic ``a_b <- a.b`` splits."""
     paths: list[tuple[str, ...]] = [(name,)]
+    for f in former or []:
+        paths.append((f,))
     if name.startswith("tool_"):
         paths.append(("tool_meta", name[len("tool_"):]))
     for i, ch in enumerate(name):
@@ -147,6 +151,7 @@ def _payload_paths(name: str) -> list[tuple[str, ...]]:
 
 def _payload_parse_plan(
     out_schema: T.StructType,
+    aliases: dict[str, list[str]] | None = None,
 ) -> tuple[list[T.StructField], dict[str, list[tuple[str, ...]]]]:
     """Shared parse plan for the envelope payload: the from_json schema
     fields (direct columns + nested flatten heads, WITHOUT the corrupt
@@ -159,10 +164,18 @@ def _payload_parse_plan(
     direct = {f.name for f in payload_fields}
     nested: dict[str, dict[str, T.DataType]] = {}
     specs: dict[str, list[tuple[str, ...]]] = {}
+    alias_fields: dict[str, T.DataType] = {}
     for f in payload_fields:
         kept: list[tuple[str, ...]] = []
-        for p in _payload_paths(f.name):
+        for p in _payload_paths(f.name, (aliases or {}).get(f.name)):
             if len(p) == 1:
+                # a former name claimed by another CURRENT column feeds
+                # that column, not this one (defensive; the manifest's
+                # rename/add maintenance already strips such aliases)
+                if p[0] != f.name and p[0] in direct:
+                    continue
+                if p[0] != f.name:
+                    alias_fields.setdefault(p[0], f.dataType)
                 kept.append(p)
             else:
                 head, tail = p
@@ -171,19 +184,31 @@ def _payload_parse_plan(
                 nested.setdefault(head, {})[tail] = f.dataType
                 kept.append(p)
         specs[f.name] = kept
-    schema_fields = [T.StructField(f.name, f.dataType) for f in payload_fields] + [
-        T.StructField(h, T.StructType([T.StructField(n, t) for n, t in sub.items()]))
-        for h, sub in nested.items()
-    ]
+    # a former-name alias that is ALSO some column's nested flatten
+    # head parses as a struct — not coalescible into a scalar; skip it
+    # (same documented limit as scalar/struct head collisions)
+    for k in specs:
+        specs[k] = [
+            p for p in specs[k] if not (len(p) == 1 and p[0] != k and p[0] in nested)
+        ]
+    schema_fields = (
+        [T.StructField(f.name, f.dataType) for f in payload_fields]
+        + [T.StructField(n, t) for n, t in alias_fields.items() if n not in nested]
+        + [
+            T.StructField(h, T.StructType([T.StructField(n, t) for n, t in sub.items()]))
+            for h, sub in nested.items()
+        ]
+    )
     return schema_fields, specs
 
 
-def malformed_predicate(out_schema: T.StructType):
+def malformed_predicate(out_schema: T.StructType, aliases: dict[str, list[str]] | None = None):
     """Boolean over ENVELOPE rows: true iff a non-delete data event's
     payload fails the record-strict parse against the target schema —
     the same PERMISSIVE+corrupt-column parse ``normalize_envelope``
-    applies in quarantine mode. Used to select the dead-letter rows."""
-    schema_fields, _ = _payload_parse_plan(out_schema)
+    applies in quarantine mode. Used to select the dead-letter rows.
+    ``aliases`` must match the normalize call's (shared parse plan)."""
+    schema_fields, _ = _payload_parse_plan(out_schema, aliases)
     ps = T.StructType(schema_fields + [T.StructField("_corrupt", T.StringType())])
     parsed = F.from_json(
         F.col("payload"), ps, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
@@ -200,6 +225,8 @@ def normalize_envelope(
     out_schema: T.StructType,
     on_malformed: str = "fail",
     passthrough: tuple[str, ...] = (),
+    aliases: dict[str, list[str]] | None = None,
+    physical: dict[str, str] | None = None,
 ) -> DataFrame:
     """JVM-side envelope normalizer. The JSON parse (ONE ``from_json``
     per row) and dotted-path flatten run inside whole-stage codegen;
@@ -227,8 +254,16 @@ def normalize_envelope(
     may not collide with a scalar payload column (a payload sending
     ``tool`` as an OBJECT while the table has scalar ``tool`` is not
     representable in one parse schema); such paths are skipped.
+
+    ``aliases`` (rename history, logical former names) extends the
+    parse plan so pre-rename payloads coalesce into the renamed
+    column; ``physical`` (logical -> stored name) rewrites the
+    partial-update set-mask entries to PHYSICAL names — masks must be
+    stable across renames and era-unique across drop/re-add for the
+    column fold to stay correct (SnapshotTable._fold_resolve
+    translates back). Both default to identity.
     """
-    schema_fields, specs = _payload_parse_plan(out_schema)
+    schema_fields, specs = _payload_parse_plan(out_schema, aliases)
     if on_malformed == "fail":
         opts = {"mode": "FAILFAST"}
     else:
@@ -264,19 +299,32 @@ def normalize_envelope(
             # column names only (no dotted-flatten indirection — a
             # patch is a write, not an ingest mapping). Full-row ops
             # keep mask NULL = "sets every column" (a base).
-            names = F.array(*[F.lit(n) for n in specs])
-            mask = F.when(
-                F.col("op") == "update_partial",
-                F.array_intersect(
-                    F.map_keys(F.from_json(F.col("payload"), "map<string,string>")),
-                    names,
-                ),
+            # mask entries are PHYSICAL names; former (renamed-away)
+            # payload keys count as setting their current column
+            key_to_phys: list[tuple[str, str]] = []
+            for n in specs:
+                p = (physical or {}).get(n, n)
+                key_to_phys.append((n, p))
+                for a in (aliases or {}).get(n, []):
+                    if a not in specs:
+                        key_to_phys.append((a, p))
+            names = F.array(*[F.lit(k) for k, _ in key_to_phys])
+            hit = F.array_intersect(
+                F.map_keys(F.from_json(F.col("payload"), "map<string,string>")),
+                names,
             )
+            if any(k != p for k, p in key_to_phys):
+                mp = F.create_map(
+                    *[x for k, p in key_to_phys for x in (F.lit(k), F.lit(p))]
+                )
+                hit = F.array_distinct(F.transform(hit, lambda x: F.element_at(mp, x)))
+            mask = F.when(F.col("op") == "update_partial", hit)
             out_cols.append(mask.alias(S.SETMASK_META_COL))
         else:
             exprs = [_path_col(p) for p in specs[f.name]]
             e = F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
-            if f.name == "text":
+            if f.name == "text" or "text" in (aliases or {}).get(f.name, []):
+                # canonicalization follows the column through renames
                 e = canonical_text_col(e)
             out_cols.append(e.cast(f.dataType).alias(f.name))
     if on_malformed == "fail":
@@ -551,6 +599,23 @@ def apply_batch(
                 widen = ddl.get("widen_columns", {})
                 if widen:
                     table.widen_columns(widen)
+                # rename/drop after add/widen so one DDL payload can
+                # compose (add a column, then rename another into it
+                # is NOT allowed — renames see the post-add schema).
+                # Batch semantics: ALL DDL applies before any data row
+                # of the same micro-batch, so a data event ordered
+                # before the DDL in the WAL but delivered in the same
+                # batch normalizes under the post-DDL schema — the
+                # era separation that the physical-name mapping
+                # guarantees (drop/re-add non-resurrection, rename
+                # aliasing) is a CROSS-batch property, same as the
+                # existing add/widen behavior.
+                ren = ddl.get("rename_columns", {})
+                if ren:
+                    table.rename_columns(ren)
+                dropc = ddl.get("drop_columns", [])
+                if dropc:
+                    table.drop_columns(dropc)
 
         affected = [int(r["__b"]) for r in census]
         hot = [c for r in census for c in r["hot"]]
@@ -623,8 +688,16 @@ def apply_batch(
         data = data.observe(obs, *metric_exprs)
 
         out_schema = winners_schema(table)
+        post_ddl_manifest = table.manifest()
+        aliases = table.rename_history(post_ddl_manifest)
+        physical = table._phys_map(post_ddl_manifest)
         final_rows = normalize_envelope(
-            data, out_schema, on_malformed=cfg.on_malformed, passthrough=("__bucket",)
+            data,
+            out_schema,
+            on_malformed=cfg.on_malformed,
+            passthrough=("__bucket",),
+            aliases=aliases,
+            physical=physical,
         )
         obs_mf = Observation(f"malformed-{batch_id}-{uuid.uuid4().hex[:8]}")
         final_rows = final_rows.observe(
@@ -633,8 +706,10 @@ def apply_batch(
         final_rows = final_rows.filter(F.col("__malformed") == 0).drop("__malformed")
 
         staged = table.new_staging_dir()
-        writer = final_rows.sortWithinPartitions("conv_id", "turn_idx").write.mode(
-            "overwrite"
+        writer = (
+            table.to_physical(final_rows, post_ddl_manifest)
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
         )
         for k, v in cfg.delta_write_options.items():
             writer = writer.option(k, v)
@@ -683,7 +758,7 @@ def apply_batch(
         # the exact set normalize dropped.)
         if cfg.on_malformed == "quarantine" and n_malformed > 0:
             quar = events_raw.filter(F.col("op") != "schema_change").filter(
-                F.col("conv_id").isNull() | malformed_predicate(out_schema)
+                F.col("conv_id").isNull() | malformed_predicate(out_schema, aliases)
             )
             quar.write.mode("overwrite").parquet(table.quarantine_dir(batch_id, cfg.app_id))
         _phase("write")

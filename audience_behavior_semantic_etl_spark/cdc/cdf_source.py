@@ -122,9 +122,13 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         self.max_versions = int(mv) if mv is not None else None
         self._last_end: int | None = None
         # column set + order pinned at stream start == the declared
-        # schema's (ships to executors inside the pickled reader)
+        # schema's (ships to executors inside the pickled reader);
+        # logical -> physical stored-name map rides along so files of
+        # renamed/re-added columns are read under their frozen storage
+        # name and emitted under the pinned logical name
         m = _manifest_dict(root, _current_version(root))
         self._col_types = [(n, t) for n, t in m["columns"]]
+        self._phys = (m.get("properties") or {}).get("physical_names") or {}
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -178,10 +182,11 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         cols = []
         fields = []
         for name, typ in self._arrow_fields():
+            src = self._phys.get(name, name)
             if name == "_commit_version":
                 cols.append(pa.array([partition.commit_version] * n, type=typ))
-            elif name in names:
-                cols.append(tbl.column(name).cast(typ).combine_chunks())
+            elif src in names:
+                cols.append(tbl.column(src).cast(typ).combine_chunks())
             else:
                 cols.append(pa.nulls(n, type=typ))
             fields.append(pa.field(name, typ))

@@ -200,16 +200,201 @@ class SnapshotTable:
         cols = [(n, S.type_from_name(t)) for n, t in m.columns]
         return S.transcripts_schema(cols, with_lsn=with_lsn, with_deleted=with_deleted)
 
+    # -- logical/physical column mapping (name-based field-id analog) --
+    #
+    # RENAME and DROP evolution need what Iceberg gets from field ids:
+    # the STORED column name must be stable across renames, and a
+    # re-added name must be a FRESH field that cannot read old data.
+    # The manifest keeps three properties (all absent on tables that
+    # never rename/drop — fully backward compatible):
+    #   physical_names: {logical -> physical} for columns whose stored
+    #     name differs from the current logical name (rename keeps the
+    #     physical name; re-add after drop assigns "<name>__f<version>")
+    #   used_physical:  every physical name ever assigned — consulted
+    #     at add time so a re-added name gets a fresh physical column
+    #     and old file data can never resurface
+    #   rename_history: {logical -> [former logical names]} — the
+    #     normalizer coalesces payload fields under any former name
+    #     into the current column, so pre-rename events (in-flight or
+    #     re-delivered) land identically (re-delivery determinism)
+    # Readers alias physical -> that snapshot's logical names at the
+    # scan (_read_rel_files); writers project logical -> physical at
+    # the staged write (to_physical). Set-masks and patched_columns
+    # store PHYSICAL names: they survive renames and are era-unique,
+    # so a patch on a dropped-then-re-added column can never leak into
+    # the new field (_fold_resolve translates per current manifest).
+
+    def _phys_map(self, m: Manifest | None = None) -> dict[str, str]:
+        """Current logical -> physical (stored) column name, identity
+        where no rename/re-add ever diverged them."""
+        m = m or self.manifest()
+        p = m.properties.get("physical_names") or {}
+        return {n: p.get(n, n) for n, _ in m.columns}
+
+    def rename_history(self, m: Manifest | None = None) -> dict[str, list[str]]:
+        """logical column -> former logical names (payload aliases)."""
+        m = m or self.manifest()
+        return {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
+
+    def to_physical(self, df: DataFrame, m: Manifest | None = None) -> DataFrame:
+        """Project a logical-named frame to stored (physical) column
+        names for a staged write. No-op (no extra Project node) on
+        tables that never renamed/re-added."""
+        m = m or self.manifest()
+        pm = self._phys_map(m)
+        if all(l == p for l, p in pm.items()):
+            return df
+        return df.select(
+            *[
+                F.col(f.name).alias(pm[f.name]) if pm.get(f.name, f.name) != f.name
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
+    def rename_columns(self, mapping: dict[str, str]) -> None:
+        """RENAME COLUMN(s) ``{old: new}`` — metadata-only commit,
+        Iceberg-style: no data file is touched; the stored name stays
+        frozen and the manifest re-maps logical -> physical. Old
+        snapshots time-travel under their own names. The former name
+        joins ``rename_history`` so payloads still carrying it keep
+        landing in the renamed column. Key columns (conv_id, turn_idx)
+        are not renamable — the engine keys on them physically
+        (bucket transform, file stats, merge keys)."""
+        m = self.manifest()
+        names = {n for n, _ in m.columns}
+        reserved = {S.LSN_META_COL, S.DELETED_META_COL, S.SETMASK_META_COL}
+        if len(set(mapping.values())) != len(mapping):
+            raise ValueError("rename_columns: duplicate target names")
+        for old, new in mapping.items():
+            if old in ("conv_id", "turn_idx"):
+                raise ValueError(f"rename_columns: cannot rename key column {old!r}")
+            if old not in names:
+                raise ValueError(f"rename_columns: no such column {old!r}")
+            # the target may be a name simultaneously renamed AWAY
+            # (swap semantics); anything else that exists collides
+            if new in (names - set(mapping)) or new in reserved:
+                raise ValueError(f"rename_columns: target name {new!r} collides")
+        pm = self._phys_map(m)
+        phys_names = dict(m.properties.get("physical_names") or {})
+        hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
+        # two passes so a simultaneous swap can't pop an entry the
+        # other rename just wrote
+        for n in mapping:
+            phys_names.pop(n, None)
+        old_hist = {n: hist.pop(n, []) for n in mapping}
+        cols: list[tuple[str, str]] = []
+        for n, t in m.columns:
+            if n not in mapping:
+                cols.append((n, t))
+                continue
+            new = mapping[n]
+            if pm[n] != new:
+                phys_names[new] = pm[n]
+            hist[new] = [x for x in (old_hist[n] + [n]) if x != new]
+            cols.append((new, t))
+        # a rename target claims its name exclusively: strip it from
+        # every OTHER column's alias list so one payload key can't
+        # feed two columns
+        targets = set(mapping.values())
+        for k in list(hist):
+            if k not in targets:
+                hist[k] = [x for x in hist[k] if x not in targets]
+            if not hist[k]:
+                del hist[k]
+        m.columns = cols
+        if phys_names:
+            m.properties["physical_names"] = phys_names
+        else:
+            m.properties.pop("physical_names", None)
+        if hist:
+            m.properties["rename_history"] = hist
+        else:
+            m.properties.pop("rename_history", None)
+        m.parent = m.version
+        m.version += 1
+        m.snapshot_id = uuid.uuid4().hex
+        self._write_manifest(m)
+
+    def drop_columns(self, names: list[str]) -> None:
+        """DROP COLUMN(s) — metadata-only commit: data files are
+        untouched, old snapshots still read the column (time travel),
+        and the physical name is retired forever (``used_physical``) so
+        re-adding the same name creates a FRESH field whose reads can
+        never resurface old file data — the Iceberg field-id
+        non-resurrection rule, in name form."""
+        m = self.manifest()
+        have = {n for n, _ in m.columns}
+        missing = set(names) - have
+        if missing:
+            raise ValueError(f"drop_columns: no such column(s) {sorted(missing)}")
+        if {"conv_id", "turn_idx"} & set(names):
+            raise ValueError("drop_columns: cannot drop key columns conv_id/turn_idx")
+        pm = self._phys_map(m)
+        used = set(m.properties.get("used_physical") or []) | set(pm.values())
+        dropped_phys = {pm[n] for n in names}
+        phys_names = {
+            k: v for k, v in (m.properties.get("physical_names") or {}).items()
+            if k not in names
+        }
+        hist = {
+            k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()
+            if k not in names
+        }
+        patched = m.properties.get("patched_columns")
+        if patched is not None:
+            m.properties["patched_columns"] = sorted(set(patched) - dropped_phys)
+        m.columns = [(n, t) for n, t in m.columns if n not in names]
+        m.properties["used_physical"] = sorted(used)
+        if phys_names:
+            m.properties["physical_names"] = phys_names
+        else:
+            m.properties.pop("physical_names", None)
+        if hist:
+            m.properties["rename_history"] = hist
+        else:
+            m.properties.pop("rename_history", None)
+        m.parent = m.version
+        m.version += 1
+        m.snapshot_id = uuid.uuid4().hex
+        self._write_manifest(m)
+
     def add_columns(self, new_cols: dict[str, str]) -> None:
         """ADD COLUMN(s): metadata-only commit; existing files are read
         with the widened schema (missing columns -> null), same as
-        Iceberg schema evolution."""
+        Iceberg schema evolution. A name whose physical column was ever
+        used before (dropped column, or the frozen storage name of a
+        since-renamed column) gets a FRESH physical name
+        ``<name>__f<version>`` so old file data cannot resurface."""
         m = self.manifest()
         existing = {n for n, _ in m.columns}
         added = [(n, t) for n, t in new_cols.items() if n not in existing]
         if not added:
             return
+        pm = self._phys_map(m)
+        used = set(m.properties.get("used_physical") or []) | set(pm.values())
+        phys_names = dict(m.properties.get("physical_names") or {})
+        hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
+        for n, _t in added:
+            phys = n if n not in used else f"{n}__f{m.version + 1}"
+            if phys != n:
+                phys_names[n] = phys
+            used.add(phys)
+            # a re-added name is a FRESH field: it owns its payload key
+            # and inherits no alias history
+            hist.pop(n, None)
+            for k in list(hist):
+                hist[k] = [x for x in hist[k] if x != n]
+                if not hist[k]:
+                    del hist[k]
         m.columns = m.columns + added
+        m.properties["used_physical"] = sorted(used)
+        if phys_names:
+            m.properties["physical_names"] = phys_names
+        if hist:
+            m.properties["rename_history"] = hist
+        else:
+            m.properties.pop("rename_history", None)
         m.parent = m.version
         m.version += 1
         m.snapshot_id = uuid.uuid4().hex
@@ -285,8 +470,22 @@ class SnapshotTable:
         )
         if not rels:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, p) for p in rels]
+        pm = self._phys_map(m)
+        paths = [os.path.join(self.root, p) for p in rels]
+        if all(l == p for l, p in pm.items()):
+            return self.spark.read.schema(schema).parquet(*paths)
+        # renamed/re-added columns: scan under the stored (physical)
+        # names of THIS manifest's era, alias back to logical — a
+        # metadata-only Project, pushed into the scan by Catalyst
+        phys_schema = S.transcripts_schema(
+            [(pm[n], dt) for n, dt in cols],
+            with_lsn=True, with_deleted=True, with_setmask=True,
+        )
+        return self.spark.read.schema(phys_schema).parquet(*paths).select(
+            *[F.col(pm[n]).alias(n) for n, _ in cols],
+            F.col(S.LSN_META_COL),
+            F.col(S.DELETED_META_COL),
+            F.col(S.SETMASK_META_COL),
         )
 
     def read(
@@ -426,8 +625,16 @@ class SnapshotTable:
         ~1.9x to near the row-LWW path. Falls back to all-columns if
         the property is absent (pre-tracking tables)."""
         data_cols = [n for n, _ in m.columns if n not in ("conv_id", "turn_idx")]
-        patched = m.properties.get("patched_columns")
-        patched = set(data_cols if patched is None else patched) & set(data_cols)
+        # masks and patched_columns store PHYSICAL names (stable across
+        # renames, era-unique across drop/re-add) — translate per the
+        # current manifest; identity on never-renamed tables
+        pm = self._phys_map(m)
+        patched_prop = m.properties.get("patched_columns")
+        if patched_prop is None:
+            patched = set(data_cols)
+        else:
+            pp = set(patched_prop)
+            patched = {c for c in data_cols if pm[c] in pp}
         base_cols = [c for c in data_cols if c not in patched]
         is_base = F.col(S.SETMASK_META_COL).isNull()
         lsn = F.col(S.LSN_META_COL)
@@ -447,7 +654,7 @@ class SnapshotTable:
         for c in data_cols:
             if c not in patched:
                 continue
-            cand = is_base | F.array_contains(F.col(S.SETMASK_META_COL), F.lit(c))
+            cand = is_base | F.array_contains(F.col(S.SETMASK_META_COL), F.lit(pm[c]))
             aggs.append(
                 F.max(F.when(cand, F.struct(lsn.alias("l"), F.col(c).alias("v")))).alias(
                     f"__w_{c}"
@@ -508,17 +715,11 @@ class SnapshotTable:
             if man.parent is None:
                 break
             v = man.parent
-        cols = [(n, S.type_from_name(t)) for n, t in m_to.columns]
         # _set rides the changelog too: a downstream incremental
         # consumer of a partial-update table needs the masks to apply
-        # patches with the same column-fold semantics.
-        schema = S.transcripts_schema(
-            cols, with_lsn=True, with_deleted=True, with_setmask=True
-        )
-        if not new_files:
-            return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, f) for f in sorted(set(new_files))]
-        return self.spark.read.schema(schema).parquet(*paths)
+        # patches with the same column-fold semantics. _read_rel_files
+        # also handles physical->logical aliasing for renamed columns.
+        return self._read_rel_files(m_to, sorted(set(new_files)))
 
     # ------------------------------------------------------------ write
 
@@ -1025,7 +1226,8 @@ class SnapshotTable:
         )
         staged = self.new_staging_dir()
         (
-            resolved.withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
+            self.to_physical(resolved, m)
+            .withColumn("__bucket", bucket_expr(F.col("conv_id"), m.n_buckets))
             # range, not hash: few distinct bucket values hash-collide
             # into unbalanced tasks (see apply.py write path)
             .repartitionByRange(min(n, len(buckets)), "__bucket", "conv_id")
@@ -1097,7 +1299,8 @@ class SnapshotTable:
         )
         staged = self.new_staging_dir()
         (
-            resolved.withColumn("__bucket", bucket_expr(F.col("conv_id"), new_n_buckets))
+            self.to_physical(resolved, m0)
+            .withColumn("__bucket", bucket_expr(F.col("conv_id"), new_n_buckets))
             .repartitionByRange(min(n, new_n_buckets), "__bucket", "conv_id")
             .sortWithinPartitions("conv_id", "turn_idx")
             .write.mode("overwrite")
