@@ -1214,6 +1214,87 @@ def q_cdc_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "text")
 
 
+def q_cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME + DROP schema evolution through the real engine
+    (cdc/table.py rename_columns/drop_columns — the logical->physical
+    mapping that plays the role of Iceberg field ids): batch 0 applies
+    v1 payloads (key ``text``); batch 1 opens with a DDL envelope
+    renaming ``text -> content`` and dropping ``tool``, then carries a
+    MIXED tail — even lsns address the new name, odd lsns are
+    stragglers still carrying the former name, which the rename
+    history must coalesce into the renamed column. The final read must
+    surface everything under ``content`` (no ``text``/``tool``
+    columns), with values bit-equal to plain LWW over the whole log —
+    i.e. the oracle cannot tell the rename ever happened, which is
+    exactly the metadata-only contract."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("int").alias("turn_idx"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_str"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("source_part"),
+    )
+
+    def _payload(key: str):
+        return F.when(F.col("op") == "delete", F.lit("{}")).otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("user").alias("role"),
+                    F.col("event_type").alias(key),
+                    F.col("ts_str").alias("ts"),
+                )
+            )
+        )
+
+    def _env(df, key):
+        return df.select(
+            "lsn", "ts", "op", "conv_id", "turn_idx",
+            _payload(key).alias("payload"),
+            F.lit(1).cast("int").alias("schema_ver"),
+            "source_part",
+        )
+
+    pre = _env(base.filter(F.pmod(F.col("lsn"), F.lit(3)) != 0), "text")
+    tail = base.filter(F.pmod(F.col("lsn"), F.lit(3)) == 0)
+    tail_new = _env(tail.filter(F.pmod(F.col("lsn"), F.lit(2)) == 0), "content")
+    tail_old = _env(tail.filter(F.pmod(F.col("lsn"), F.lit(2)) == 1), "text")
+    ddl = spark.range(1).select(
+        F.lit(2**60).cast("long").alias("lsn"),
+        F.lit("2030-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        F.lit("schema_change").alias("op"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.lit(
+            '{"rename_columns": {"text": "content"}, "drop_columns": ["tool"]}'
+        ).alias("payload"),
+        F.lit(1).cast("int").alias("schema_ver"),
+        F.lit(0).cast("int").alias("source_part"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-ren-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-ren", auto_compact=False, shuffle_partitions=8)
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    apply_batch(pre, table, 0, cfg)
+    apply_batch(ddl.unionByName(tail_new).unionByName(tail_old), table, 1, cfg)
+    cols = [c for c, _ in table.manifest().columns]
+    assert "content" in cols and "text" not in cols and "tool" not in cols
+    # metadata-only: the rename kept the stored column name frozen
+    assert table._phys_map()["content"] == "text"
+    return table.read_final().select("conv_id", "turn_idx", "content")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2542,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_lww": q_dedup_lww,
         "q_text_profile": q_text_profile,
         "q_cdc_wap": q_cdc_wap,  # new round-4b (tail; pytest parity)
+        "q_cdc_rename_evolution": q_cdc_rename_evolution,  # new round-4c (tail; pytest parity)
     }
 
 
@@ -3052,6 +3134,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'quarantined' AS kind, conv_id, turn_idx,
                    CAST(NULL AS VARCHAR) AS text
             FROM ev WHERE poison = 1
+        """,
+        # Rename + drop evolution is metadata-only: plain LWW over the
+        # whole log, values identical no matter which (former/current)
+        # payload key carried them — the oracle cannot tell the rename
+        # ever happened.
+        "q_cdc_rename_evolution": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS content
+              FROM events),
+            latest AS (
+              SELECT * FROM (
+                SELECT ev.*, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                FROM ev) WHERE rn = 1)
+            SELECT conv_id, turn_idx, content FROM latest WHERE is_del = 0
         """,
         # Streaming replay with crash+resume must converge to the plain
         # full-log LWW state — exactly-once means the oracle cannot tell
