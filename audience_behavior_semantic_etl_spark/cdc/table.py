@@ -53,6 +53,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 
 from audience_behavior_semantic_etl_spark.cdc import schema as S
 
@@ -1441,3 +1442,116 @@ class SnapshotTable:
         if not rows:
             raise ValueError("no lineage yet")
         return self.spark.createDataFrame(rows)
+
+    # ---------------------------------------------- metadata tables
+    #
+    # The Iceberg metadata-table analog (SELECT * FROM t.snapshots /
+    # t.files / t.history): the table's own commit history, live file
+    # inventory, and ref state as queryable DataFrames. Built
+    # driver-side from the retained manifests — metadata is
+    # metadata-scale (one row per commit / per file), exactly what
+    # Iceberg's own metadata tables read, so no distributed scan is
+    # needed or wanted.
+
+    def _retained_versions(self) -> list[int]:
+        man_dir = os.path.join(self.root, "_manifests")
+        return sorted(int(f[1:-5]) for f in os.listdir(man_dir) if f.endswith(".json"))
+
+    def snapshots_df(self) -> DataFrame:
+        """One row per retained committed version: commit kind derived
+        STRUCTURALLY from the file diff vs parent (append / rewrite /
+        metadata — same classification the CDF source and
+        read_changes use), plus file/row-tracking counts."""
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("snapshot_id", T.StringType()),
+            T.StructField("parent", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("n_buckets", T.LongType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("files_added", T.LongType()),
+            T.StructField("files_removed", T.LongType()),
+            T.StructField("is_current", T.BooleanType()),
+        ])
+        cur = self.manifest().version
+        rows = []
+        for v in self._retained_versions():
+            m = self.manifest(v)
+            files = {f for fs in m.buckets.values() for f in fs}
+            parent_files: set[str] | None = None
+            if m.parent is not None:
+                try:
+                    pm = self.manifest(m.parent)
+                    parent_files = {f for fs in pm.buckets.values() for f in fs}
+                except FileNotFoundError:
+                    parent_files = None  # expired parent: diff unknowable
+            if parent_files is None:
+                added, removed = (len(files), 0) if m.parent is None else (-1, -1)
+                op = "create" if m.parent is None else "unknown"
+            else:
+                added = len(files - parent_files)
+                removed = len(parent_files - files)
+                op = (
+                    "metadata" if added == 0 and removed == 0
+                    else "append" if removed == 0
+                    else "rewrite"
+                )
+            rows.append((v, m.snapshot_id, m.parent, op, m.n_buckets,
+                         len(files), added, removed, v == cur))
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Live data-file inventory of a version (default current):
+        bucket, path, on-disk size, and the per-file key range when
+        commit-time footer stats were recorded (file_stats — the
+        DataFile lower/upper-bounds analog; NULL for stat-less files,
+        which readers always scan)."""
+        schema = T.StructType([
+            T.StructField("bucket", T.LongType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("key_min", T.StringType()),
+            T.StructField("key_max", T.StringType()),
+        ])
+        m = self.manifest(version)
+        stats = m.properties.get("file_stats") or {}
+        rows = []
+        for b, fs in m.buckets.items():
+            for rel in fs:
+                try:
+                    size = os.path.getsize(os.path.join(self.root, rel))
+                except OSError:
+                    size = -1
+                st = stats.get(rel)
+                ok = st is not None and len(st) == 2
+                rows.append((int(b), rel, size,
+                             st[0] if ok else None, st[1] if ok else None))
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """The current head's ancestry chain (Iceberg history): refs —
+        tags and the staged WAP ids — annotated per version."""
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("snapshot_id", T.StringType()),
+            T.StructField("is_current_ancestor", T.BooleanType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ])
+        head = self.manifest()
+        tags_by_v: dict[int, list[str]] = {}
+        for name, v in (head.properties.get("tags") or {}).items():
+            tags_by_v.setdefault(int(v), []).append(name)
+        ancestry = set()
+        v: int | None = head.version
+        while v is not None:
+            ancestry.add(v)
+            try:
+                v = self.manifest(v).parent
+            except FileNotFoundError:
+                break
+        rows = [
+            (v, self.manifest(v).snapshot_id, v in ancestry,
+             sorted(tags_by_v.get(v, [])))
+            for v in self._retained_versions()
+        ]
+        return self.spark.createDataFrame(rows, schema)
