@@ -2524,6 +2524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every run). Round 4b: q_cdc_rebucket + q_cdc_cdf_stream enter
     # the window (both need their first driver row); q_dedup_lww +
     # q_text_profile (2-3 green rounds each) rotate to the tail.
+    # Round 4c: q_cdc_wap + q_cdc_rename_evolution enter the window;
+    # q_goal_attribution + q_session_flags (green r2+r3) rotate out.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
@@ -2545,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_partial_update": q_cdc_partial_update,  # new round-4
         "q_cdc_rebucket": q_cdc_rebucket,  # new round-4b
         "q_cdc_cdf_stream": q_cdc_cdf_stream,  # new round-4b
+        "q_cdc_wap": q_cdc_wap,  # new round-4b
+        "q_cdc_rename_evolution": q_cdc_rename_evolution,  # new round-4c
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
@@ -2554,8 +2558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
-        "q_goal_attribution": q_goal_attribution,
-        "q_session_flags": q_session_flags,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
         "q_stream_enrich": q_stream_enrich,  # new round-4
         "q_stream_stream_join": q_stream_stream_join,  # new round-4
@@ -2622,8 +2624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # admit q_cdc_rebucket / q_cdc_cdf_stream into the window
         "q_dedup_lww": q_dedup_lww,
         "q_text_profile": q_text_profile,
-        "q_cdc_wap": q_cdc_wap,  # new round-4b (tail; pytest parity)
-        "q_cdc_rename_evolution": q_cdc_rename_evolution,  # new round-4c (tail; pytest parity)
+        # rotated out in round 4c (both green r2+r3) to admit
+        # q_cdc_wap / q_cdc_rename_evolution into the window
+        "q_goal_attribution": q_goal_attribution,
+        "q_session_flags": q_session_flags,
     }
 
 

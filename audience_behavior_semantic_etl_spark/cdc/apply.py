@@ -109,6 +109,15 @@ class ApplyConfig:
     delta_write_options: dict[str, str] = field(
         default_factory=lambda: {"parquet.compression.codec.zstd.level": "1"}
     )
+    # apply onto a BRANCH ref instead of main (the Iceberg
+    # `spark.wap.branch` audit-branch pattern, multi-commit granularity):
+    # commits, the exactly-once ledger, watermarks and schema evolution
+    # all advance the branch chain only; `table.fast_forward("main",
+    # branch)` publishes. Mutually exclusive with wap_mode (a branch IS
+    # the multi-commit WAP). Auto-compaction is skipped on a branch —
+    # compaction is main-chain maintenance; after publish, main's next
+    # maintenance pass folds the branch's deltas normally.
+    branch: str = "main"
     # WRITE-AUDIT-PUBLISH: when True the batch is STAGED invisibly
     # (table.stage_wap under wap id f"{app_id}:{batch_id}") instead of
     # committed — readers see nothing, the exactly-once ledger does not
@@ -123,11 +132,11 @@ def wap_id_for(app_id: str, batch_id: int) -> str:
     return f"{app_id}:{batch_id}"
 
 
-def winners_schema(table: SnapshotTable) -> T.StructType:
+def winners_schema(table: SnapshotTable, ref: str = "main") -> T.StructType:
     """Output schema of the normalizer: full (evolving) table row +
     merge metadata (_lsn for read-side LWW, _deleted tombstones, _set
     patch masks — null on full-row versions)."""
-    cols = [(n, S.type_from_name(t)) for n, t in table.manifest().columns]
+    cols = [(n, S.type_from_name(t)) for n, t in table.manifest(ref=ref).columns]
     return S.transcripts_schema(cols, with_lsn=True, with_deleted=True, with_setmask=True)
 
 
@@ -426,7 +435,9 @@ def apply_batch(
     t0 = time.perf_counter()
     spark = table.spark
 
-    if table.is_batch_committed(cfg.app_id, batch_id):
+    if cfg.wap_mode and cfg.branch != "main":
+        raise ValueError("wap_mode and branch are mutually exclusive (a branch IS the multi-commit WAP)")
+    if table.is_batch_committed(cfg.app_id, batch_id, ref=cfg.branch):
         return BatchMetrics(batch_id, 0, 0, 0, 0, 0, 0.0, -1, -1, skipped=True)
 
     # Snapshot-LSN fence (bootstrap_snapshot): events at or below the
@@ -437,7 +448,7 @@ def apply_batch(
     # re-delivered with it (see bootstrap_snapshot's docstring for the
     # exact hazard taxonomy). A plain pushed-down scan filter; the
     # overlapping part of an at-least-once tail costs one predicate.
-    fence = table.manifest().properties.get("snapshot_lsn")
+    fence = table.manifest(ref=cfg.branch).properties.get("snapshot_lsn")
     if fence is not None:
         events_raw = events_raw.filter(F.col("lsn") > int(fence))
 
@@ -508,7 +519,7 @@ def apply_batch(
         # (output bounded by n_buckets + #hot keys, never batch size).
         # n_buckets is immutable after create, so this is safe to plan
         # before any schema_change lands.
-        n_buckets = table.manifest().n_buckets
+        n_buckets = table.manifest(ref=cfg.branch).n_buckets
         census_agg = (
             stats.filter(F.col("conv_id").isNotNull())
             .groupBy("conv_id")
@@ -565,6 +576,7 @@ def apply_batch(
                 batch_id=batch_id,
                 watermarks={},
                 lineage_row={"batch_id": batch_id, "rows": 0},
+                ref=cfg.branch,
             )
             return BatchMetrics(
                 batch_id, 0, 0, 0, 0, 0, time.perf_counter() - t0, -1, -1, snapshot
@@ -595,10 +607,10 @@ def apply_batch(
                 ddl = json.loads(r["payload"])
                 add = ddl.get("add_columns", {})
                 if add:
-                    table.add_columns(add)
+                    table.add_columns(add, ref=cfg.branch)
                 widen = ddl.get("widen_columns", {})
                 if widen:
-                    table.widen_columns(widen)
+                    table.widen_columns(widen, ref=cfg.branch)
                 # rename/drop after add/widen so one DDL payload can
                 # compose (add a column, then rename another into it
                 # is NOT allowed — renames see the post-add schema).
@@ -612,10 +624,10 @@ def apply_batch(
                 # existing add/widen behavior.
                 ren = ddl.get("rename_columns", {})
                 if ren:
-                    table.rename_columns(ren)
+                    table.rename_columns(ren, ref=cfg.branch)
                 dropc = ddl.get("drop_columns", [])
                 if dropc:
-                    table.drop_columns(dropc)
+                    table.drop_columns(dropc, ref=cfg.branch)
 
         affected = [int(r["__b"]) for r in census]
         hot = [c for r in census for c in r["hot"]]
@@ -631,8 +643,8 @@ def apply_batch(
         # every read from now on must fold set-masks, even after this
         # batch's versions are compacted away (collapse keeps the mode
         # correct but cheaper). Sticky one-time property, not per-batch.
-        if n_partial > 0 and not table.manifest().properties.get("has_partial"):
-            table.set_property("has_partial", True)
+        if n_partial > 0 and not table.manifest(ref=cfg.branch).properties.get("has_partial"):
+            table.set_property("has_partial", True, ref=cfg.branch)
 
         # -- adaptive in-batch pre-collapse (high churn only) -------------
         # Row-level max_by would DISCARD patch content (a patch above a
@@ -687,8 +699,8 @@ def apply_batch(
         obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
         data = data.observe(obs, *metric_exprs)
 
-        out_schema = winners_schema(table)
-        post_ddl_manifest = table.manifest()
+        out_schema = winners_schema(table, ref=cfg.branch)
+        post_ddl_manifest = table.manifest(ref=cfg.branch)
         aliases = table.rename_history(post_ddl_manifest)
         physical = table._phys_map(post_ddl_manifest)
         final_rows = normalize_envelope(
@@ -779,9 +791,9 @@ def apply_batch(
                 .distinct()
                 .collect()
             }
-            prev = set(table.manifest().properties.get("patched_columns") or [])
+            prev = set(table.manifest(ref=cfg.branch).properties.get("patched_columns") or [])
             if not (seen <= prev):
-                table.set_property("patched_columns", sorted(prev | seen))
+                table.set_property("patched_columns", sorted(prev | seen), ref=cfg.branch)
 
         lineage_row = {
             "batch_id": batch_id,
@@ -812,6 +824,7 @@ def apply_batch(
                 batch_id=batch_id,
                 watermarks=watermarks,
                 lineage_row=lineage_row,
+                ref=cfg.branch,
             )
 
         _phase("commit")
@@ -821,7 +834,7 @@ def apply_batch(
         # one in flight; also surfaces its exceptions on the stream)
         join_pending_compaction(table)
         compacted = 0
-        if cfg.auto_compact:
+        if cfg.auto_compact and cfg.branch == "main":
             over = table.buckets_over_threshold(cfg.compact_max_files)
             if over:
                 if cfg.async_compact:

@@ -29,8 +29,8 @@ from audience_behavior_semantic_etl_spark.session import get_spark
 FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_name", "tool_latency_ms"]
 
 
-def table_to_pandas(table: SnapshotTable) -> pd.DataFrame:
-    pdf = table.read_final().toPandas()
+def table_to_pandas(table: SnapshotTable, ref: str = "main") -> pd.DataFrame:
+    pdf = table.read_final(ref=ref).toPandas()
     for c in FINAL_COLS:
         if c not in pdf.columns:
             pdf[c] = None

@@ -170,29 +170,87 @@ class SnapshotTable:
     def exists(root: str) -> bool:
         return os.path.exists(os.path.join(root, "_current"))
 
-    def manifest(self, version: int | None = None) -> Manifest:
+    def manifest(self, version: int | None = None, ref: str = "main") -> Manifest:
         """Current manifest, or a specific committed version (time
         travel — Iceberg snapshot-id reads; old data files stay on disk
-        until a GC pass, so every committed version remains readable)."""
+        until a GC pass, so every committed version remains readable).
+        ``ref`` selects which head to resolve when ``version`` is None:
+        "main" (the `_current` pointer) or a named branch."""
         if version is None:
-            with open(os.path.join(self.root, "_current")) as f:
-                version = int(f.read().strip())
+            version = self._head_version(ref)
         with open(os.path.join(self.root, "_manifests", f"v{version}.json")) as f:
             return Manifest.from_json(f.read())
 
-    def _write_manifest(self, m: Manifest) -> None:
-        """Write-manifest-last atomic commit."""
+    # ------------------------------------------------------------ refs
+    #
+    # Branch refs (the Iceberg branch analog): named MUTABLE pointers
+    # into the manifest DAG. "main" is the `_current` pointer; branches
+    # live in `_refs.json`, mutated atomically (write-tmp + rename)
+    # under the same commit lock as every other head mutation. Each
+    # branch commit chain carries its OWN properties (exactly-once
+    # ledger, watermarks, schema) forward from its fork point, so a
+    # stream applying onto a branch is isolated from main until
+    # `fast_forward` publishes it — the Iceberg `spark.wap.branch`
+    # audit-branch pattern, at multi-commit granularity (single-commit
+    # gating is `stage_wap`).
+
+    def _refs_file(self) -> str:
+        return os.path.join(self.root, "_refs.json")
+
+    def _read_refs(self) -> dict[str, int]:
+        try:
+            with open(self._refs_file()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = os.path.join(self.root, f"_refs.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._refs_file())
+
+    def _head_version(self, ref: str = "main") -> int:
+        if ref == "main":
+            with open(os.path.join(self.root, "_current")) as f:
+                return int(f.read().strip())
+        refs = self._read_refs()
+        if ref not in refs:
+            raise ValueError(f"no such branch {ref!r}")
+        return refs[ref]
+
+    def _set_head(self, ref: str, version: int) -> None:
+        if ref == "main":
+            tmp = os.path.join(self.root, f"_current.tmp.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.root, "_current"))
+            return
+        refs = self._read_refs()
+        refs[ref] = version
+        self._write_refs(refs)
+
+    def _alloc_version(self) -> int:
+        """Next GLOBALLY unique version number: manifests from every
+        ref chain share one `_manifests/` namespace, so version numbers
+        are allocated table-wide (max retained + 1), not per-chain —
+        two branches can never write the same `v{N}.json`. Call under
+        the commit lock (or from the apply-serialized DDL path)."""
+        vs = self._retained_versions()
+        return (vs[-1] + 1) if vs else 0
+
+    def _write_manifest(self, m: Manifest, ref: str = "main") -> None:
+        """Write-manifest-last atomic commit; advances ``ref``'s head."""
         mpath = os.path.join(self.root, "_manifests", f"v{m.version}.json")
         with open(mpath, "w") as f:
             f.write(m.to_json())
             f.flush()
             os.fsync(f.fileno())
-        tmp = os.path.join(self.root, f"_current.tmp.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(m.version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.root, "_current"))
+        self._set_head(ref, m.version)
 
     # ------------------------------------------------------------ schema
 
@@ -253,7 +311,7 @@ class SnapshotTable:
             ]
         )
 
-    def rename_columns(self, mapping: dict[str, str]) -> None:
+    def rename_columns(self, mapping: dict[str, str], ref: str = "main") -> None:
         """RENAME COLUMN(s) ``{old: new}`` — metadata-only commit,
         Iceberg-style: no data file is touched; the stored name stays
         frozen and the manifest re-maps logical -> physical. Old
@@ -262,7 +320,7 @@ class SnapshotTable:
         landing in the renamed column. Key columns (conv_id, turn_idx)
         are not renamable — the engine keys on them physically
         (bucket transform, file stats, merge keys)."""
-        m = self.manifest()
+        m = self.manifest(ref=ref)
         names = {n for n, _ in m.columns}
         reserved = {S.LSN_META_COL, S.DELETED_META_COL, S.SETMASK_META_COL}
         if len(set(mapping.values())) != len(mapping):
@@ -313,18 +371,18 @@ class SnapshotTable:
         else:
             m.properties.pop("rename_history", None)
         m.parent = m.version
-        m.version += 1
+        m.version = self._alloc_version()
         m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m)
+        self._write_manifest(m, ref=ref)
 
-    def drop_columns(self, names: list[str]) -> None:
+    def drop_columns(self, names: list[str], ref: str = "main") -> None:
         """DROP COLUMN(s) — metadata-only commit: data files are
         untouched, old snapshots still read the column (time travel),
         and the physical name is retired forever (``used_physical``) so
         re-adding the same name creates a FRESH field whose reads can
         never resurface old file data — the Iceberg field-id
         non-resurrection rule, in name form."""
-        m = self.manifest()
+        m = self.manifest(ref=ref)
         have = {n for n, _ in m.columns}
         missing = set(names) - have
         if missing:
@@ -356,18 +414,18 @@ class SnapshotTable:
         else:
             m.properties.pop("rename_history", None)
         m.parent = m.version
-        m.version += 1
+        m.version = self._alloc_version()
         m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m)
+        self._write_manifest(m, ref=ref)
 
-    def add_columns(self, new_cols: dict[str, str]) -> None:
+    def add_columns(self, new_cols: dict[str, str], ref: str = "main") -> None:
         """ADD COLUMN(s): metadata-only commit; existing files are read
         with the widened schema (missing columns -> null), same as
         Iceberg schema evolution. A name whose physical column was ever
         used before (dropped column, or the frozen storage name of a
         since-renamed column) gets a FRESH physical name
         ``<name>__f<version>`` so old file data cannot resurface."""
-        m = self.manifest()
+        m = self.manifest(ref=ref)
         existing = {n for n, _ in m.columns}
         added = [(n, t) for n, t in new_cols.items() if n not in existing]
         if not added:
@@ -397,9 +455,9 @@ class SnapshotTable:
         else:
             m.properties.pop("rename_history", None)
         m.parent = m.version
-        m.version += 1
+        m.version = self._alloc_version()
         m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m)
+        self._write_manifest(m, ref=ref)
 
     # physically safe type promotions: the parquet scan upcasts these
     # natively (int32 pages read under a bigint read schema, float under
@@ -409,12 +467,12 @@ class SnapshotTable:
     # Iceberg's type-promotion evolution rule.
     SAFE_WIDENINGS = {("int", "long"), ("float", "double")}
 
-    def widen_columns(self, changes: dict[str, str]) -> None:
+    def widen_columns(self, changes: dict[str, str], ref: str = "main") -> None:
         """WIDEN COLUMN type(s), e.g. ``{"tool_latency_ms": "long"}``
         on an int column. Refuses anything but the safe promotions
         above — a lossy or non-upcastable change would corrupt reads of
         files already on disk."""
-        m = self.manifest()
+        m = self.manifest(ref=ref)
         names = {n for n, _ in m.columns}
         unknown = set(changes) - names
         if unknown:
@@ -437,18 +495,24 @@ class SnapshotTable:
             return
         m.columns = out
         m.parent = m.version
-        m.version += 1
+        m.version = self._alloc_version()
         m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m)
+        self._write_manifest(m, ref=ref)
 
     # ------------------------------------------------------------ read
 
     def read_raw(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        ref: str = "main",
     ) -> DataFrame:
         """Every stored row version (delta files unresolved) with both
         metadata columns — maintenance/compaction input. ``version``
-        time-travels to an older committed snapshot."""
+        time-travels to an older committed snapshot; ``ref`` reads a
+        branch head instead of main."""
+        if version is None:
+            version = self._head_version(ref)
         m = self.manifest(version)
         sel = (
             m.buckets
@@ -494,6 +558,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         with_deleted: bool = False,
         version: int | None = None,
+        ref: str = "main",
     ) -> DataFrame:
         """Merge-on-read resolution: one row per (conv_id, turn_idx).
         Row mode (default): the max-``_lsn`` version across all delta
@@ -504,6 +569,8 @@ class SnapshotTable:
         Both modes collapse to full rows; ``_set`` never leaks out.
         Tombstones are kept (flag surfaced when ``with_deleted``) so
         callers see deletions; ``read_final`` filters them."""
+        if version is None:
+            version = self._head_version(ref)
         m = self.manifest(version)
         df = self.read_raw(buckets, version=version)
         if m.properties.get("has_partial"):
@@ -522,15 +589,18 @@ class SnapshotTable:
         return resolved.drop(S.DELETED_META_COL)
 
     def read_final(
-        self, version: int | None = None, tag: str | None = None
+        self, version: int | None = None, tag: str | None = None, ref: str = "main"
     ) -> DataFrame:
         """User-facing view: LWW-resolved, tombstones filtered,
         metadata columns dropped. ``version`` time-travels; ``tag``
-        resolves a named pin (create_tag) to its version."""
+        resolves a named pin (create_tag) to its version; ``ref``
+        reads a branch head."""
         if tag is not None:
             if version is not None:
                 raise ValueError("pass version or tag, not both")
             version = self.resolve_tag(tag)
+        if version is None:
+            version = self._head_version(ref)
         df = self.read(with_deleted=True, version=version)
         return df.filter(~F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))).drop(
             S.LSN_META_COL, S.DELETED_META_COL
@@ -724,8 +794,8 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ write
 
-    def is_batch_committed(self, app_id: str, batch_id: int) -> bool:
-        committed = self.manifest().properties.get("committed_batches", {})
+    def is_batch_committed(self, app_id: str, batch_id: int, ref: str = "main") -> bool:
+        committed = self.manifest(ref=ref).properties.get("committed_batches", {})
         return batch_id <= committed.get(app_id, -1)
 
     def quarantine_dir(self, batch_id: int, app_id: str = "default") -> str:
@@ -863,6 +933,7 @@ class SnapshotTable:
         batch_id: int,
         watermarks: dict[str, int],
         lineage_row: dict[str, Any],
+        ref: str = "main",
     ) -> str:
         """Merge-on-read apply commit: APPEND the staged files to each
         affected bucket's file list (no rewrite of existing data), then
@@ -880,7 +951,7 @@ class SnapshotTable:
                 m.buckets[b] = list(m.buckets.get(b, [])) + rels
             m.properties.setdefault("file_stats", {}).update(stats)
 
-        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
+        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row, ref=ref)
 
     def commit_merged_buckets(
         self,
@@ -891,6 +962,7 @@ class SnapshotTable:
         watermarks: dict[str, int],
         lineage_row: dict[str, Any],
         base_buckets: dict[str, list[str]] | None = None,
+        ref: str = "main",
     ) -> str:
         """Compaction-style commit: REPLACE each affected bucket's file
         list with the staged (resolved) files. Returns the snapshot id.
@@ -914,24 +986,24 @@ class SnapshotTable:
                 m.buckets[b] = rels + appended_since
             m.properties.setdefault("file_stats", {}).update(stats)
 
-        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row)
+        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row, ref=ref)
 
-    def set_property(self, key: str, value: Any) -> None:
+    def set_property(self, key: str, value: Any, ref: str = "main") -> None:
         """Commit a single table-property mutation as its own manifest
         version (lock-serialized, data files untouched). Used for
         durable control-plane facts that must survive restarts — e.g.
         the bootstrap snapshot-LSN fence (`apply.bootstrap_snapshot`)."""
 
         def run() -> None:
-            m = self.manifest()
+            m = self.manifest(ref=ref)
             m.properties[key] = value
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
             m.lineage.append(
                 {"op": "set_property", "key": key, "snapshot_id": m.snapshot_id}
             )
-            self._write_manifest(m)
+            self._write_manifest(m, ref=ref)
 
         self._with_commit_lock(run)
 
@@ -960,7 +1032,7 @@ class SnapshotTable:
                 )
             tags[name] = v
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
             m.lineage.append(
                 {"op": "create_tag", "tag": name, "pinned_version": v,
@@ -982,7 +1054,7 @@ class SnapshotTable:
                 raise ValueError(f"no such tag {name!r}")
             del tags[name]
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
             m.lineage.append(
                 {"op": "drop_tag", "tag": name, "snapshot_id": m.snapshot_id}
@@ -999,6 +1071,89 @@ class SnapshotTable:
         if name not in tags:
             raise ValueError(f"no such tag {name!r}")
         return int(tags[name])
+
+    # ------------------------------------------------------------ branches
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Create a MUTABLE named ref at ``version`` (default: main's
+        head). Commits made with ``ref=name`` advance the branch only;
+        main never sees them until ``fast_forward``. The branch chain
+        inherits the fork-point manifest wholesale — schema, watermarks
+        and the exactly-once ledger — so a re-delivered batch that
+        already landed on main no-ops on the branch too. Returns the
+        fork version."""
+
+        def run() -> int:
+            if name == "main" or not name:
+                raise ValueError(f"invalid branch name {name!r}")
+            refs = self._read_refs()
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists at v{refs[name]}")
+            v = self._head_version("main") if version is None else int(version)
+            self.manifest(v)  # must be readable
+            refs[name] = v
+            self._write_refs(refs)
+            return v
+
+        return self._with_commit_lock(run)
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch ref; its unpublished commits become GC-able
+        once they age out of every other ref's retention window."""
+
+        def run() -> None:
+            refs = self._read_refs()
+            if name not in refs:
+                raise ValueError(f"no such branch {name!r}")
+            del refs[name]
+            self._write_refs(refs)
+
+        self._with_commit_lock(run)
+
+    def branches(self) -> dict[str, int]:
+        return self._read_refs()
+
+    def _is_ancestor(self, ancestor: int, descendant: int) -> bool:
+        """Walk ``descendant``'s parent chain looking for ``ancestor``.
+        Metadata-only: one small JSON read per hop, bounded by the
+        retention window (a pruned hop means the chain left the
+        retained set — not an ancestor we can prove)."""
+        v: int | None = descendant
+        while v is not None:
+            if v == ancestor:
+                return True
+            try:
+                v = self.manifest(v).parent
+            except FileNotFoundError:
+                return False
+        return False
+
+    def fast_forward(self, ref: str, from_branch: str) -> int:
+        """Fast-forward ``ref`` (usually "main") to ``from_branch``'s
+        head — the Iceberg ``fast_forward`` publish step of the audit-
+        branch pattern. STRICTLY fast-forward: ``ref``'s head must be
+        an ancestor of the branch head, i.e. nothing was committed to
+        ``ref`` since the fork (otherwise the move would silently drop
+        those commits — that needs a merge/cherry-pick, which this
+        engine does not do; the caller rebases by re-applying the
+        branch's batches, which the per-app ledger makes idempotent).
+        Pure pointer swing: no data file is touched, the branch's
+        ledger/watermarks/schema become ``ref``'s atomically."""
+
+        def run() -> int:
+            target = self._head_version(from_branch)
+            cur = self._head_version(ref)
+            if cur == target:
+                return target
+            if not self._is_ancestor(cur, target):
+                raise ValueError(
+                    f"cannot fast-forward {ref!r} (v{cur}) to {from_branch!r} "
+                    f"(v{target}): v{cur} is not an ancestor of v{target}"
+                )
+            self._set_head(ref, target)
+            return target
+
+        return self._with_commit_lock(run)
 
     # ------------------------------------------------------------ WAP
 
@@ -1045,7 +1200,7 @@ class SnapshotTable:
                 "lineage": lineage_row,
             }
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             old = m.snapshot_id
             m.snapshot_id = snapshot
             m.lineage.append(
@@ -1115,7 +1270,7 @@ class SnapshotTable:
                 raise ValueError(f"WAP {wap_id!r} vanished (already published/rejected?)")
             del m.properties["wap"][wap_id]
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
             m.lineage.append(
                 {"op": "wap_reject", "wap_id": wap_id, "snapshot_id": m.snapshot_id}
@@ -1131,6 +1286,7 @@ class SnapshotTable:
         batch_id: int,
         watermarks: dict[str, int],
         lineage_row: dict[str, Any],
+        ref: str = "main",
     ) -> str:
         """Optimistic snapshot commit: the manifest is re-read FRESH
         inside the commit lock and the caller's mutation re-applied to
@@ -1139,7 +1295,7 @@ class SnapshotTable:
         snapshot = uuid.uuid4().hex
 
         def run() -> str:
-            m = self.manifest()
+            m = self.manifest(ref=ref)
             mutate(m)
             fs = m.properties.get("file_stats")
             if fs:
@@ -1147,10 +1303,10 @@ class SnapshotTable:
                 # rewriting commit (compaction/purge) drops the entries
                 # of the files it removed. Old versions keep their own
                 # copies — time travel prunes with era-correct stats.
-                ref = {f for fls in m.buckets.values() for f in fls}
-                m.properties["file_stats"] = {k: v for k, v in fs.items() if k in ref}
+                live = {f for fls in m.buckets.values() for f in fls}
+                m.properties["file_stats"] = {k: v for k, v in fs.items() if k in live}
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             old_snapshot = m.snapshot_id
             m.snapshot_id = snapshot
             wm = m.properties.setdefault("watermarks", {})
@@ -1160,7 +1316,7 @@ class SnapshotTable:
             m.lineage.append(
                 {**lineage_row, "snapshot_id": snapshot, "parent_snapshot": old_snapshot}
             )
-            self._write_manifest(m)
+            self._write_manifest(m, ref=ref)
             return snapshot
 
         return self._with_commit_lock(run)
@@ -1327,7 +1483,7 @@ class SnapshotTable:
             # full rewrite: the stats map is exactly the new files'
             m.properties["file_stats"] = stats
             m.parent = m.version
-            m.version += 1
+            m.version = self._alloc_version()
             m.snapshot_id = snapshot
             m.lineage.append(
                 {
@@ -1385,18 +1541,37 @@ class SnapshotTable:
         batch committed — permanent silent loss. An hour-old staging
         dir can only be a crashed writer (a healthy batch commits in
         seconds). Pass 0 only when the caller KNOWS no writer is live."""
-        head = self.manifest()
-        cur = head.version
-        keep_set = set(range(max(0, cur - keep_versions + 1), cur + 1))
-        # tagged versions are retention-PROTECTED (Iceberg tag
-        # semantics): their manifests and files survive any
-        # keep_versions until drop_tag
-        keep_set.update(int(v) for v in head.properties.get("tags", {}).values())
-        referenced: set[str] = set()
-        # staged-but-unpublished WAP batches are live state, not orphans
-        for w in head.properties.get("wap", {}).values():
-            for fs in w.get("buckets", {}).values():
-                referenced.update(fs)
+        # Retention is per-REF: the last ``keep_versions`` ancestors of
+        # EVERY ref head (main + each branch), walked over parent links
+        # — version numbers are globally allocated across chains, so a
+        # chain is NOT a numeric range. Computed under the commit lock:
+        # no head can move and no manifest is mid-commit while the keep
+        # set is decided.
+        def plan() -> tuple[set[int], set[str]]:
+            heads = {"main": self._head_version("main"), **self._read_refs()}
+            ks: set[int] = set()
+            refd: set[str] = set()
+            for hv in heads.values():
+                v: int | None = hv
+                hops = 0
+                while v is not None and hops < keep_versions:
+                    ks.add(v)
+                    hops += 1
+                    try:
+                        v = self.manifest(v).parent
+                    except FileNotFoundError:
+                        break
+                head_m = self.manifest(hv)
+                # tagged versions are retention-PROTECTED (Iceberg tag
+                # semantics) until drop_tag; staged-but-unpublished WAP
+                # batches are live state, not orphans — on ANY chain
+                ks.update(int(t) for t in head_m.properties.get("tags", {}).values())
+                for w in head_m.properties.get("wap", {}).values():
+                    for fs in w.get("buckets", {}).values():
+                        refd.update(fs)
+            return ks, refd
+
+        keep_set, referenced = self._with_commit_lock(plan)
         for v in sorted(keep_set):
             try:
                 m = self.manifest(v)
@@ -1414,7 +1589,7 @@ class SnapshotTable:
         man_dir = os.path.join(self.root, "_manifests")
         for fn in os.listdir(man_dir):
             v = int(fn[1:-5])  # v{N}.json
-            if v < max(0, cur - keep_versions + 1) and v not in keep_set:
+            if v not in keep_set:
                 os.remove(os.path.join(man_dir, fn))
         # clear abandoned staging dirs (crashed writes) — but only past
         # the grace window, never an in-flight writer's dir (see docstring)
@@ -1554,4 +1729,22 @@ class SnapshotTable:
              sorted(tags_by_v.get(v, [])))
             for v in self._retained_versions()
         ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def refs_df(self) -> DataFrame:
+        """The Iceberg ``refs`` metadata table: one row per named ref —
+        "main", every branch (mutable pointers), every tag (immutable
+        pins) — with the version and snapshot it resolves to."""
+        schema = T.StructType([
+            T.StructField("name", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("snapshot_id", T.StringType()),
+        ])
+        rows = [("main", "branch", self._head_version("main"),
+                 self.manifest().snapshot_id)]
+        for name, v in sorted(self._read_refs().items()):
+            rows.append((name, "branch", v, self.manifest(v).snapshot_id))
+        for name, v in sorted(self.manifest().properties.get("tags", {}).items()):
+            rows.append((name, "tag", int(v), self.manifest(int(v)).snapshot_id))
         return self.spark.createDataFrame(rows, schema)

@@ -1,0 +1,202 @@
+"""Branch refs + fast-forward publish (the Iceberg branch /
+`spark.wap.branch` audit-branch pattern): commit isolation, ledger
+inheritance and carry-over, strict fast-forward, global version
+allocation across chains, per-ref GC retention, and branch-scoped
+schema evolution.
+
+Reference parity note: the reference engine has no refs at all — this
+is part of the CDC/lake surface the Spark re-expression adds (see
+README coverage map); semantics follow Iceberg branch/fast-forward
+rules (branch = mutable named ref into the snapshot DAG, publish =
+ancestor-checked pointer swing).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+from audience_behavior_semantic_etl_spark.cdc.demo import check_equal, table_to_pandas
+from audience_behavior_semantic_etl_spark.cdc.gen import (
+    GenConfig,
+    expected_final_state,
+    generate_change_log,
+)
+from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
+from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def log3():
+    """A small change log split into 3 lsn-contiguous batches."""
+    log = generate_change_log(GenConfig(seed=11, n_convs=40))
+    log = log.sort_values("lsn", kind="mergesort").reset_index(drop=True)
+    n = len(log)
+    return [log.iloc[: n // 3], log.iloc[n // 3 : 2 * n // 3], log.iloc[2 * n // 3 :]], log
+
+
+def _df(spark, pdf: pd.DataFrame):
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+
+def test_branch_commits_invisible_on_main_until_fast_forward(spark, log3, tmp_path):
+    batches, log = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    main_v = table.manifest().version
+    main_state = table_to_pandas(table)
+
+    fork_v = table.create_branch("audit")
+    assert fork_v == main_v
+    cfg = ApplyConfig(branch="audit")
+    apply_batch(_df(spark, batches[1]), table, batch_id=1, cfg=cfg)
+    apply_batch(_df(spark, batches[2]), table, batch_id=2, cfg=cfg)
+
+    # main: untouched — same head version, same rows
+    assert table.manifest().version == main_v
+    check_equal(table_to_pandas(table), main_state)
+    # branch: full-log LWW state
+    check_equal(table_to_pandas(table, ref="audit"), expected_final_state(log))
+    # refs metadata table lists both
+    refs = {r["name"]: r for r in table.refs_df().collect()}
+    assert refs["main"]["version"] == main_v
+    assert refs["audit"]["version"] == table.manifest(ref="audit").version
+
+    # publish: pointer swing only, then main == branch state
+    table.fast_forward("main", "audit")
+    check_equal(table_to_pandas(table), expected_final_state(log))
+    # the branch ledger came with the pointer: re-delivery no-ops on main
+    m = apply_batch(_df(spark, batches[2]), table, batch_id=2)
+    assert m.skipped
+
+
+def test_branch_inherits_fork_point_ledger(spark, log3, tmp_path):
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    table.create_branch("b")
+    # batch 0 already landed on main before the fork -> no-op on branch
+    m = apply_batch(_df(spark, batches[0]), table, batch_id=0, cfg=ApplyConfig(branch="b"))
+    assert m.skipped
+
+
+def test_fast_forward_refuses_diverged_main(spark, log3, tmp_path):
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    table.create_branch("b")
+    apply_batch(_df(spark, batches[1]), table, batch_id=1, cfg=ApplyConfig(branch="b"))
+    # main moves past the fork point -> not an ancestor of the branch head
+    apply_batch(_df(spark, batches[2]), table, batch_id=2)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        table.fast_forward("main", "b")
+    # no-op fast-forward is fine (branch of main's own head)
+    table.create_branch("noop")
+    assert table.fast_forward("main", "noop") == table.manifest().version
+
+
+def test_version_numbers_globally_unique_across_chains(spark, log3, tmp_path):
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    table.create_branch("b")
+    # interleave: branch commit, main commit, branch commit
+    apply_batch(_df(spark, batches[1]), table, batch_id=1, cfg=ApplyConfig(branch="b"))
+    apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    apply_batch(_df(spark, batches[2]), table, batch_id=2, cfg=ApplyConfig(branch="b"))
+    vs = table._retained_versions()
+    assert len(vs) == len(set(vs))
+    # both chains walk back to the shared fork point
+    fork = table.branches()["b"]
+    assert fork >= 0
+    assert table._is_ancestor(fork, table.manifest(ref="b").version)
+    # main diverged, so neither head is an ancestor of the other
+    assert not table._is_ancestor(table.manifest().version, table.manifest(ref="b").version)
+
+
+def test_gc_protects_branch_chain_until_dropped(spark, log3, tmp_path):
+    batches, log = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    table.create_branch("keepme")
+    cfg = ApplyConfig(branch="keepme")
+    apply_batch(_df(spark, batches[1]), table, batch_id=1, cfg=cfg)
+    apply_batch(_df(spark, batches[2]), table, batch_id=2, cfg=cfg)
+    # churn main well past the retention window
+    for i in range(1, 5):
+        apply_batch(_df(spark, batches[1]), table, batch_id=i, cfg=ApplyConfig(app_id=f"a{i}"))
+    table.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    # branch still fully readable after aggressive GC
+    check_equal(table_to_pandas(table, ref="keepme"), expected_final_state(log))
+    branch_head = table.branches()["keepme"]
+    table.drop_branch("keepme")
+    table.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        table.manifest(branch_head)
+
+
+def test_branch_schema_evolution_publishes_with_fast_forward(spark, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    base = pd.DataFrame(
+        [{
+            "lsn": 1, "ts": pd.Timestamp("2025-01-01"), "op": "insert",
+            "conv_id": "c", "turn_idx": 0,
+            "payload": json.dumps({"role": "user", "text": "hi", "tool": None,
+                                   "ts": "2025-01-01T00:00:00"}),
+            "schema_ver": 1, "source_part": 0,
+        }]
+    )
+    apply_batch(_df(spark, base), table, batch_id=0)
+    table.create_branch("ddl")
+    evo = pd.DataFrame(
+        [
+            {
+                "lsn": 2, "ts": pd.Timestamp("2025-01-02"), "op": "schema_change",
+                "conv_id": None, "turn_idx": None,
+                "payload": json.dumps({"add_columns": {"model": "string"}}),
+                "schema_ver": 2, "source_part": 0,
+            },
+            {
+                "lsn": 3, "ts": pd.Timestamp("2025-01-02"), "op": "insert",
+                "conv_id": "c", "turn_idx": 1,
+                "payload": json.dumps({"role": "assistant", "text": "yo", "tool": None,
+                                       "model": "m-1", "ts": "2025-01-02T00:00:00"}),
+                "schema_ver": 2, "source_part": 0,
+            },
+        ]
+    )
+    apply_batch(_df(spark, evo), table, batch_id=1, cfg=ApplyConfig(branch="ddl"))
+    # main schema untouched; branch evolved
+    assert "model" not in {n for n, _ in table.manifest().columns}
+    assert "model" in {n for n, _ in table.manifest(ref="ddl").columns}
+    table.fast_forward("main", "ddl")
+    got = table.read_final().toPandas().sort_values("turn_idx")
+    assert list(got["model"]) == [None, "m-1"]
+
+
+def test_wap_mode_and_branch_are_mutually_exclusive(spark, log3, tmp_path):
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        apply_batch(
+            _df(spark, batches[0]), table, batch_id=0,
+            cfg=ApplyConfig(branch="b", wap_mode=True),
+        )
+
+
+def test_branch_name_validation_and_duplicates(spark, tmp_path):
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    with pytest.raises(ValueError):
+        table.create_branch("main")
+    table.create_branch("x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("x")
+    with pytest.raises(ValueError, match="no such branch"):
+        table.drop_branch("y")
+    with pytest.raises(ValueError, match="no such branch"):
+        table.read_final(ref="y")
