@@ -1295,6 +1295,51 @@ def q_cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "content")
 
 
+def q_cdc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH REFS + FAST-FORWARD PUBLISH through the real engine
+    (table.create_branch / ApplyConfig(branch=...) / fast_forward —
+    the Iceberg branch / `spark.wap.branch` audit pattern at
+    multi-commit granularity): batch 0 (lsn%3==0) lands on main;
+    batches 1 and 2 (lsn%3==1 / ==2) are applied onto branch "audit",
+    each advancing the branch chain only; fast_forward("main","audit")
+    publishes both with one ancestor-checked pointer swing. The oracle
+    is full-log LWW, so the row hashes green only if the branch
+    commits were complete AND the publish lost nothing. In-query
+    assertions pin the isolation half: main's head version and row
+    count are untouched while the branch absorbs two batches, and the
+    branch's exactly-once ledger rides the pointer swing (re-delivery
+    of batch 2 no-ops on main after publish)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-branch-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-br", auto_compact=False, shuffle_partitions=8)
+    bcfg = ApplyConfig(
+        app_id="cdc-br", auto_compact=False, shuffle_partitions=8, branch="audit"
+    )
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    third = F.pmod(F.col("lsn"), F.lit(3))
+    apply_batch(env.filter(third == 0), table, 0, cfg)
+    main_v = table.manifest().version
+    n_main = table.read_final().count()
+    table.create_branch("audit")
+    apply_batch(env.filter(third == 1), table, 1, bcfg)
+    apply_batch(env.filter(third == 2), table, 2, bcfg)
+    assert table.manifest().version == main_v, "branch commits must not move main"
+    assert table.read_final().count() == n_main, "branch rows visible on main"
+    assert not table.is_batch_committed("cdc-br", 2)
+    table.fast_forward("main", "audit")
+    assert table.is_batch_committed("cdc-br", 2), "ledger must ride the publish"
+    assert apply_batch(env.filter(third == 2), table, 2, cfg).skipped
+    return table.read_final().select("conv_id", "turn_idx", "text")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2524,8 +2569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every run). Round 4b: q_cdc_rebucket + q_cdc_cdf_stream enter
     # the window (both need their first driver row); q_dedup_lww +
     # q_text_profile (2-3 green rounds each) rotate to the tail.
-    # Round 4c: q_cdc_wap + q_cdc_rename_evolution enter the window;
-    # q_goal_attribution + q_session_flags (green r2+r3) rotate out.
+    # Round 4c: q_cdc_wap + q_cdc_rename_evolution + q_cdc_branch enter
+    # the window; q_goal_attribution + q_session_flags + q_metric_layers
+    # (each green r2+r3) rotate out.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
@@ -2549,13 +2595,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_cdf_stream": q_cdc_cdf_stream,  # new round-4b
         "q_cdc_wap": q_cdc_wap,  # new round-4b
         "q_cdc_rename_evolution": q_cdc_rename_evolution,  # new round-4c
+        "q_cdc_branch": q_cdc_branch,  # new round-4c
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
         "q_dedup_clusters": q_dedup_clusters,  # new round-4
         "q_embed_quantize": q_embed_quantize,  # new round-4
         # enrichment UDFs (U1/U2/U12) + metric layers (M5)
-        "q_metric_layers": q_metric_layers,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
@@ -2624,10 +2670,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # admit q_cdc_rebucket / q_cdc_cdf_stream into the window
         "q_dedup_lww": q_dedup_lww,
         "q_text_profile": q_text_profile,
-        # rotated out in round 4c (both green r2+r3) to admit
-        # q_cdc_wap / q_cdc_rename_evolution into the window
+        # rotated out in round 4c (all green r2+r3) to admit
+        # q_cdc_wap / q_cdc_rename_evolution / q_cdc_branch into the window
         "q_goal_attribution": q_goal_attribution,
         "q_session_flags": q_session_flags,
+        "q_metric_layers": q_metric_layers,
     }
 
 
@@ -3218,6 +3265,24 @@ def oracle_sql() -> dict[str, str]:
                      event_type AS text
               FROM events
               WHERE NOT (event_id % 5 = 0 AND event_id % 2 = 1))
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT t.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev t) u
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # Branch + fast-forward publish: main's final state is full-log
+        # LWW — green only if both branch batches landed and the
+        # pointer swing lost nothing (isolation is pinned by in-query
+        # assertions; this oracle pins completeness).
+        "q_cdc_branch": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events)
             SELECT conv_id, turn_idx, text FROM (
               SELECT t.*, row_number() OVER (
                   PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
