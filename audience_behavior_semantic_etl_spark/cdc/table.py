@@ -1155,6 +1155,44 @@ class SnapshotTable:
 
         return self._with_commit_lock(run)
 
+    def rollback(self, version: int | None = None, tag: str | None = None,
+                 ref: str = "main") -> int:
+        """Roll ``ref`` back to an OLDER version of its own chain (the
+        Iceberg rollback-to-snapshot analog): pure pointer swing to an
+        ancestor — no data file is touched, the abandoned commits stay
+        readable by explicit version until GC ages them out of every
+        ref's retention. ``tag`` resolves a named pin. The target must
+        be an ancestor of the current head (cross-chain or forward
+        moves are not a rollback — use fast_forward for those).
+
+        The exactly-once ledger rolls back WITH the manifest: batches
+        committed after the target become un-committed, so a source
+        replay re-applies them and the table converges again — exactly
+        the recover-by-replay contract the north rule requires."""
+
+        def run() -> int:
+            v = version
+            if tag is not None:
+                if v is not None:
+                    raise ValueError("pass version or tag, not both")
+                v = self.resolve_tag(tag)
+            if v is None:
+                raise ValueError("rollback needs a version or tag")
+            v = int(v)
+            cur = self._head_version(ref)
+            if v == cur:
+                return v
+            if not self._is_ancestor(v, cur):
+                raise ValueError(
+                    f"cannot roll {ref!r} back to v{v}: not an ancestor of "
+                    f"the current head v{cur}"
+                )
+            self.manifest(v)  # must be readable
+            self._set_head(ref, v)
+            return v
+
+        return self._with_commit_lock(run)
+
     # ------------------------------------------------------------ WAP
 
     def stage_wap(

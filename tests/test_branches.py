@@ -200,3 +200,44 @@ def test_branch_name_validation_and_duplicates(spark, tmp_path):
         table.drop_branch("y")
     with pytest.raises(ValueError, match="no such branch"):
         table.read_final(ref="y")
+
+
+def test_rollback_to_tag_then_replay_converges(spark, log3, tmp_path):
+    """Rollback is an ancestor-checked pointer swing that also rolls
+    the exactly-once ledger back, so replaying the abandoned batches
+    re-applies them and the table converges to the same final state."""
+    batches, log = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    pinned = table.create_tag("after-b0")
+    pinned_state = table_to_pandas(table)
+    apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    apply_batch(_df(spark, batches[2]), table, batch_id=2)
+    full_state = table_to_pandas(table)
+
+    assert table.rollback(tag="after-b0") == pinned
+    check_equal(table_to_pandas(table), pinned_state)
+    # ledger rolled back with the manifest: batches 1-2 re-apply
+    assert not table.is_batch_committed("cdc-apply", 1)
+    m1 = apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    m2 = apply_batch(_df(spark, batches[2]), table, batch_id=2)
+    assert not m1.skipped and not m2.skipped
+    check_equal(table_to_pandas(table), full_state)
+    check_equal(table_to_pandas(table), expected_final_state(log))
+
+
+def test_rollback_refuses_non_ancestor_and_forward(spark, log3, tmp_path):
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    head = table.manifest().version
+    table.create_branch("b")
+    apply_batch(_df(spark, batches[1]), table, batch_id=1, cfg=ApplyConfig(branch="b"))
+    branch_head = table.manifest(ref="b").version
+    # branch head is not on main's chain
+    with pytest.raises(ValueError, match="not an ancestor"):
+        table.rollback(version=branch_head)
+    # no-op rollback to own head is fine
+    assert table.rollback(version=head) == head
+    with pytest.raises(ValueError, match="version or tag"):
+        table.rollback()
