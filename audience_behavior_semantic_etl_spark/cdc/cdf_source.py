@@ -16,6 +16,10 @@ Design (all driver-side logic is manifest-only — no data read):
   start — "changes from now on"); ``latestOffset`` re-reads the
   ``_current`` pointer. Spark checkpoints these offsets, giving
   exactly-once delivery of row VERSIONS across restarts for free.
+  The ``ref`` option tails a BRANCH chain instead of main (audit
+  consumers); version numbers are globally allocated across chains,
+  so the ``maxVersionsPerTrigger`` cap counts commits along the
+  chosen ref's parent chain, never version arithmetic.
 - **A micro-batch (start, end] is the files its commits APPENDED,
   diffed structurally.** For each version in the window: a commit
   that only ADDS files is an apply — its files are new row versions,
@@ -78,7 +82,17 @@ def _manifest_dict(root: str, version: int) -> dict:
         return json.loads(f.read())
 
 
-def _current_version(root: str) -> int:
+def _current_version(root: str, ref: str = "main") -> int:
+    """Head version of a ref: "main" is the `_current` pointer, any
+    other name is a branch in `_refs.json` (same resolution as
+    SnapshotTable._head_version — duplicated here because the reader
+    ships to executors pickled and must not drag the table class in)."""
+    if ref != "main":
+        with open(os.path.join(root, "_refs.json")) as f:
+            refs = json.load(f)
+        if ref not in refs:
+            raise ValueError(f"no such branch {ref!r}")
+        return int(refs[ref])
     with open(os.path.join(root, "_current")) as f:
         return int(f.read().strip())
 
@@ -116,8 +130,11 @@ def _appended_files(root: str, start: int, end: int) -> list[tuple[str, int]]:
 class TranscriptsCDFReader(DataSourceStreamReader):
     def __init__(self, root: str, options: dict):
         self.root = root
+        self.ref = options.get("ref", "main")
         sv = options.get("startingversion")
-        self.start_version = int(sv) if sv is not None else _current_version(root)
+        self.start_version = (
+            int(sv) if sv is not None else _current_version(root, self.ref)
+        )
         mv = options.get("maxversionspertrigger")
         self.max_versions = int(mv) if mv is not None else None
         self._last_end: int | None = None
@@ -126,7 +143,7 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         # logical -> physical stored-name map rides along so files of
         # renamed/re-added columns are read under their frozen storage
         # name and emitted under the pinned logical name
-        m = _manifest_dict(root, _current_version(root))
+        m = _manifest_dict(root, _current_version(root, self.ref))
         self._col_types = [(n, t) for n, t in m["columns"]]
         self._phys = (m.get("properties") or {}).get("physical_names") or {}
 
@@ -152,11 +169,22 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         exactly one bounded batch per ``start()`` — callers doing
         capped catch-up drains should loop start()/awaitTermination
         until the synced version stops advancing, or run uncapped."""
-        cur = _current_version(self.root)
+        cur = _current_version(self.root, self.ref)
         if self.max_versions is None:
             return {"version": cur}
         base = self._last_end if self._last_end is not None else self.start_version
-        end = min(cur, base + self.max_versions)
+        # The cap counts COMMITS ALONG THIS REF'S CHAIN, not version
+        # arithmetic: version numbers are allocated globally across
+        # branch chains, so base + N may name a manifest on another
+        # chain (or none at all). Walk the parent links from the head
+        # down to base and take the N oldest pending commits.
+        pending: list[int] = []
+        v: int | None = cur
+        while v is not None and v > base:
+            pending.append(v)
+            v = _manifest_dict(self.root, v).get("parent")
+        pending.reverse()  # oldest pending first
+        end = pending[self.max_versions - 1] if len(pending) > self.max_versions else cur
         self._last_end = end
         return {"version": end}
 
@@ -230,7 +258,7 @@ class TranscriptsCDF(DataSource):
 
     def schema(self) -> T.StructType:
         root = self.options["path"]
-        m = _manifest_dict(root, _current_version(root))
+        m = _manifest_dict(root, _current_version(root, self.options.get("ref", "main")))
         cols = [(n, S.type_from_name(t)) for n, t in m["columns"]]
         base = S.transcripts_schema(
             cols, with_lsn=True, with_deleted=True, with_setmask=True

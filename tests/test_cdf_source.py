@@ -216,3 +216,83 @@ def test_cdf_max_versions_per_trigger_bounds_batches(registered, tmp_path):
     assert sum(seen) == 6, "full backlog delivered exactly once"
     assert len(seen) >= 3, f"expected >=3 bounded batches, got {seen}"
     assert max(seen) <= 2
+
+
+def test_cdf_capped_drain_skips_interleaved_branch_versions(registered, tmp_path):
+    """Version numbers are allocated globally across ref chains, so a
+    capped main-stream catch-up must count commits ALONG MAIN'S CHAIN,
+    not do version arithmetic — base+N may name a branch manifest (or
+    a gap). Interleave branch commits between main commits and drain
+    main with maxVersionsPerTrigger=2: exactly main's rows, branch
+    rows never leak into the feed."""
+    import threading
+    import time
+
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    bcfg = ApplyConfig(app_id="br", auto_compact=False, shuffle_partitions=4, branch="b")
+    t.create_branch("b")
+    for i in range(4):
+        apply_batch(_env(spark, [(i + 1, "insert", f"c{i}", f"M{i}")]), t, i, cfg)
+        apply_batch(
+            _env(spark, [(100 + i, "insert", f"bc{i}", f"B{i}")]), t, i, bcfg
+        )
+    texts: list[str] = []
+    done = threading.Event()
+
+    def _collect(df, bid):
+        rows = [r["text"] for r in df.select("text").collect()]
+        texts.extend(rows)
+        if len(texts) >= 4:
+            done.set()
+
+    q = (
+        spark.readStream.format("transcripts_cdf")
+        .option("path", t.root)
+        .option("startingVersion", 0)
+        .option("maxVersionsPerTrigger", 2)
+        .load()
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert done.wait(180), f"backlog not drained, saw {texts}"
+        time.sleep(2)
+    finally:
+        q.stop()
+    assert sorted(texts) == ["M0", "M1", "M2", "M3"], texts
+
+
+def test_cdf_ref_option_streams_a_branch(registered, tmp_path):
+    """`option("ref", branch)` tails a branch chain: the drain delivers
+    the branch's commits (fork-point commits included via
+    startingVersion=0) and none of main's post-fork commits."""
+    spark = registered
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    cfg = ApplyConfig(app_id="cdf", auto_compact=False, shuffle_partitions=4)
+    bcfg = ApplyConfig(app_id="br", auto_compact=False, shuffle_partitions=4, branch="b")
+    apply_batch(_env(spark, [(1, "insert", "a", "SHARED")]), t, 0, cfg)
+    t.create_branch("b")
+    apply_batch(_env(spark, [(2, "insert", "b", "BRANCH-ONLY")]), t, 0, bcfg)
+    apply_batch(_env(spark, [(3, "insert", "c", "MAIN-ONLY")]), t, 1, cfg)
+    got = (
+        spark.readStream.format("transcripts_cdf")
+        .option("path", t.root)
+        .option("ref", "b")
+        .option("startingVersion", 0)
+        .load()
+    )
+    q = (
+        got.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    texts = sorted(
+        r["text"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert texts == ["BRANCH-ONLY", "SHARED"], texts
