@@ -1340,6 +1340,46 @@ def q_cdc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "text")
 
 
+def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK + REPLAY CONVERGENCE (table.rollback — the Iceberg
+    rollback-to-snapshot analog, plus the north rule's
+    recover-by-replay contract): batch 0 lands and is tagged; batch 1
+    lands; rollback(tag=...) swings main back to the tag — and because
+    the exactly-once ledger lives in the manifest it rolls back too,
+    so re-delivering batch 1 RE-APPLIES (asserted, not skipped) and
+    batch 2 follows. The oracle is full-log LWW: green only if the
+    rollback dropped batch 1 cleanly AND the replay re-converged to
+    the exact final state. In-query assertions pin the intermediate
+    states (post-rollback row count equals the tagged state; the
+    abandoned commit stays readable by explicit version)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-rollback-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-rb", auto_compact=False, shuffle_partitions=8)
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    third = F.pmod(F.col("lsn"), F.lit(3))
+    apply_batch(env.filter(third == 0), table, 0, cfg)
+    table.create_tag("pre")
+    n_tagged = table.read_final().count()
+    apply_batch(env.filter(third == 1), table, 1, cfg)
+    abandoned_v = table.manifest().version
+    table.rollback(tag="pre")
+    assert table.read_final().count() == n_tagged, "rollback must restore the tag"
+    assert not table.is_batch_committed("cdc-rb", 1), "ledger must roll back"
+    # the abandoned commit is still time-travel readable until GC
+    assert table.read_final(version=abandoned_v).count() >= n_tagged
+    assert not apply_batch(env.filter(third == 1), table, 1, cfg).skipped
+    apply_batch(env.filter(third == 2), table, 2, cfg)
+    return table.read_final().select("conv_id", "turn_idx", "text")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2569,9 +2609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every run). Round 4b: q_cdc_rebucket + q_cdc_cdf_stream enter
     # the window (both need their first driver row); q_dedup_lww +
     # q_text_profile (2-3 green rounds each) rotate to the tail.
-    # Round 4c: q_cdc_wap + q_cdc_rename_evolution + q_cdc_branch enter
-    # the window; q_goal_attribution + q_session_flags + q_metric_layers
-    # (each green r2+r3) rotate out.
+    # Round 4c: q_cdc_wap + q_cdc_rename_evolution + q_cdc_branch +
+    # q_cdc_rollback enter the window; q_goal_attribution +
+    # q_session_flags + q_metric_layers + q_ann_ivf_topk (each green
+    # r2+r3, IVF still window-covered by q_ann_ivf_refine) rotate out.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
@@ -2596,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_wap": q_cdc_wap,  # new round-4b
         "q_cdc_rename_evolution": q_cdc_rename_evolution,  # new round-4c
         "q_cdc_branch": q_cdc_branch,  # new round-4c
+        "q_cdc_rollback": q_cdc_rollback,  # new round-4c
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
@@ -2603,7 +2645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_quantize": q_embed_quantize,  # new round-4
         # enrichment UDFs (U1/U2/U12) + metric layers (M5)
         "q_ann_lsh_topk": q_ann_lsh_topk,
-        "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
         "q_stream_enrich": q_stream_enrich,  # new round-4
         "q_stream_stream_join": q_stream_stream_join,  # new round-4
@@ -2670,11 +2711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # admit q_cdc_rebucket / q_cdc_cdf_stream into the window
         "q_dedup_lww": q_dedup_lww,
         "q_text_profile": q_text_profile,
-        # rotated out in round 4c (all green r2+r3) to admit
-        # q_cdc_wap / q_cdc_rename_evolution / q_cdc_branch into the window
+        # rotated out in round 4c (all green r2+r3) to admit the new
+        # CDC rows (q_cdc_wap / q_cdc_rename_evolution / q_cdc_branch /
+        # q_cdc_rollback) into the window
         "q_goal_attribution": q_goal_attribution,
         "q_session_flags": q_session_flags,
         "q_metric_layers": q_metric_layers,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -3276,6 +3319,24 @@ def oracle_sql() -> dict[str, str]:
         # pointer swing lost nothing (isolation is pinned by in-query
         # assertions; this oracle pins completeness).
         "q_cdc_branch": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events)
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT t.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev t) u
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # Rollback + replay convergence: main's final state is full-log
+        # LWW — green only if the rollback dropped the abandoned batch
+        # cleanly AND the ledger rolled back so the replay re-applied it
+        # (intermediate states pinned by in-query assertions).
+        "q_cdc_rollback": """
             WITH ev AS (
               SELECT event_id AS lsn,
                      CAST(user_id AS VARCHAR) AS conv_id,
