@@ -88,8 +88,11 @@ def _current_version(root: str, ref: str = "main") -> int:
     SnapshotTable._head_version — duplicated here because the reader
     ships to executors pickled and must not drag the table class in)."""
     if ref != "main":
-        with open(os.path.join(root, "_refs.json")) as f:
-            refs = json.load(f)
+        try:
+            with open(os.path.join(root, "_refs.json")) as f:
+                refs = json.load(f)
+        except FileNotFoundError:
+            refs = {}
         if ref not in refs:
             raise ValueError(f"no such branch {ref!r}")
         return int(refs[ref])
@@ -138,6 +141,12 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         mv = options.get("maxversionspertrigger")
         self.max_versions = int(mv) if mv is not None else None
         self._last_end: int | None = None
+        # parent-link cache for the capped walk: manifests are
+        # immutable, so each version's parent is read AT MOST ONCE over
+        # the stream's lifetime — a capped catch-up over a large
+        # backlog stays O(backlog) total driver reads, not
+        # O(backlog^2 / cap)
+        self._parents: dict[int, int | None] = {}
         # column set + order pinned at stream start == the declared
         # schema's (ships to executors inside the pickled reader);
         # logical -> physical stored-name map rides along so files of
@@ -182,7 +191,9 @@ class TranscriptsCDFReader(DataSourceStreamReader):
         v: int | None = cur
         while v is not None and v > base:
             pending.append(v)
-            v = _manifest_dict(self.root, v).get("parent")
+            if v not in self._parents:
+                self._parents[v] = _manifest_dict(self.root, v).get("parent")
+            v = self._parents[v]
         pending.reverse()  # oldest pending first
         end = pending[self.max_versions - 1] if len(pending) > self.max_versions else cur
         self._last_end = end

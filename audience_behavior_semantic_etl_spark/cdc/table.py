@@ -237,11 +237,28 @@ class SnapshotTable:
     def _alloc_version(self) -> int:
         """Next GLOBALLY unique version number: manifests from every
         ref chain share one `_manifests/` namespace, so version numbers
-        are allocated table-wide (max retained + 1), not per-chain —
-        two branches can never write the same `v{N}.json`. Call under
-        the commit lock (or from the apply-serialized DDL path)."""
+        are allocated table-wide, not per-chain — two branches can
+        never write the same `v{N}.json`. A persisted high-water mark
+        (`_version_seq`) keeps allocation MONOTONE even when rollback +
+        GC deletes the highest-numbered manifests: a version number,
+        once used, is never reissued — checkpointed consumers (CDF
+        streams, incremental views) key progress on version numbers
+        and silently skip a reused one. Call under the commit lock."""
         vs = self._retained_versions()
-        return (vs[-1] + 1) if vs else 0
+        hwm = -1
+        try:
+            with open(os.path.join(self.root, "_version_seq")) as f:
+                hwm = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            pass
+        nxt = max(vs[-1] if vs else -1, hwm) + 1
+        tmp = os.path.join(self.root, f"_version_seq.tmp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.root, "_version_seq"))
+        return nxt
 
     def _write_manifest(self, m: Manifest, ref: str = "main") -> None:
         """Write-manifest-last atomic commit; advances ``ref``'s head."""
@@ -320,60 +337,63 @@ class SnapshotTable:
         landing in the renamed column. Key columns (conv_id, turn_idx)
         are not renamable — the engine keys on them physically
         (bucket transform, file stats, merge keys)."""
-        m = self.manifest(ref=ref)
-        names = {n for n, _ in m.columns}
-        reserved = {S.LSN_META_COL, S.DELETED_META_COL, S.SETMASK_META_COL}
-        if len(set(mapping.values())) != len(mapping):
-            raise ValueError("rename_columns: duplicate target names")
-        for old, new in mapping.items():
-            if old in ("conv_id", "turn_idx"):
-                raise ValueError(f"rename_columns: cannot rename key column {old!r}")
-            if old not in names:
-                raise ValueError(f"rename_columns: no such column {old!r}")
-            # the target may be a name simultaneously renamed AWAY
-            # (swap semantics); anything else that exists collides
-            if new in (names - set(mapping)) or new in reserved:
-                raise ValueError(f"rename_columns: target name {new!r} collides")
-        pm = self._phys_map(m)
-        phys_names = dict(m.properties.get("physical_names") or {})
-        hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
-        # two passes so a simultaneous swap can't pop an entry the
-        # other rename just wrote
-        for n in mapping:
-            phys_names.pop(n, None)
-        old_hist = {n: hist.pop(n, []) for n in mapping}
-        cols: list[tuple[str, str]] = []
-        for n, t in m.columns:
-            if n not in mapping:
-                cols.append((n, t))
-                continue
-            new = mapping[n]
-            if pm[n] != new:
-                phys_names[new] = pm[n]
-            hist[new] = [x for x in (old_hist[n] + [n]) if x != new]
-            cols.append((new, t))
-        # a rename target claims its name exclusively: strip it from
-        # every OTHER column's alias list so one payload key can't
-        # feed two columns
-        targets = set(mapping.values())
-        for k in list(hist):
-            if k not in targets:
-                hist[k] = [x for x in hist[k] if x not in targets]
-            if not hist[k]:
-                del hist[k]
-        m.columns = cols
-        if phys_names:
-            m.properties["physical_names"] = phys_names
-        else:
-            m.properties.pop("physical_names", None)
-        if hist:
-            m.properties["rename_history"] = hist
-        else:
-            m.properties.pop("rename_history", None)
-        m.parent = m.version
-        m.version = self._alloc_version()
-        m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m, ref=ref)
+        def run() -> None:
+            m = self.manifest(ref=ref)
+            names = {n for n, _ in m.columns}
+            reserved = {S.LSN_META_COL, S.DELETED_META_COL, S.SETMASK_META_COL}
+            if len(set(mapping.values())) != len(mapping):
+                raise ValueError("rename_columns: duplicate target names")
+            for old, new in mapping.items():
+                if old in ("conv_id", "turn_idx"):
+                    raise ValueError(f"rename_columns: cannot rename key column {old!r}")
+                if old not in names:
+                    raise ValueError(f"rename_columns: no such column {old!r}")
+                # the target may be a name simultaneously renamed AWAY
+                # (swap semantics); anything else that exists collides
+                if new in (names - set(mapping)) or new in reserved:
+                    raise ValueError(f"rename_columns: target name {new!r} collides")
+            pm = self._phys_map(m)
+            phys_names = dict(m.properties.get("physical_names") or {})
+            hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
+            # two passes so a simultaneous swap can't pop an entry the
+            # other rename just wrote
+            for n in mapping:
+                phys_names.pop(n, None)
+            old_hist = {n: hist.pop(n, []) for n in mapping}
+            cols: list[tuple[str, str]] = []
+            for n, t in m.columns:
+                if n not in mapping:
+                    cols.append((n, t))
+                    continue
+                new = mapping[n]
+                if pm[n] != new:
+                    phys_names[new] = pm[n]
+                hist[new] = [x for x in (old_hist[n] + [n]) if x != new]
+                cols.append((new, t))
+            # a rename target claims its name exclusively: strip it from
+            # every OTHER column's alias list so one payload key can't
+            # feed two columns
+            targets = set(mapping.values())
+            for k in list(hist):
+                if k not in targets:
+                    hist[k] = [x for x in hist[k] if x not in targets]
+                if not hist[k]:
+                    del hist[k]
+            m.columns = cols
+            if phys_names:
+                m.properties["physical_names"] = phys_names
+            else:
+                m.properties.pop("physical_names", None)
+            if hist:
+                m.properties["rename_history"] = hist
+            else:
+                m.properties.pop("rename_history", None)
+            m.parent = m.version
+            m.version = self._alloc_version()
+            m.snapshot_id = uuid.uuid4().hex
+            self._write_manifest(m, ref=ref)
+
+        self._with_commit_lock(run)
 
     def drop_columns(self, names: list[str], ref: str = "main") -> None:
         """DROP COLUMN(s) — metadata-only commit: data files are
@@ -382,41 +402,44 @@ class SnapshotTable:
         re-adding the same name creates a FRESH field whose reads can
         never resurface old file data — the Iceberg field-id
         non-resurrection rule, in name form."""
-        m = self.manifest(ref=ref)
-        have = {n for n, _ in m.columns}
-        missing = set(names) - have
-        if missing:
-            raise ValueError(f"drop_columns: no such column(s) {sorted(missing)}")
-        if {"conv_id", "turn_idx"} & set(names):
-            raise ValueError("drop_columns: cannot drop key columns conv_id/turn_idx")
-        pm = self._phys_map(m)
-        used = set(m.properties.get("used_physical") or []) | set(pm.values())
-        dropped_phys = {pm[n] for n in names}
-        phys_names = {
-            k: v for k, v in (m.properties.get("physical_names") or {}).items()
-            if k not in names
-        }
-        hist = {
-            k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()
-            if k not in names
-        }
-        patched = m.properties.get("patched_columns")
-        if patched is not None:
-            m.properties["patched_columns"] = sorted(set(patched) - dropped_phys)
-        m.columns = [(n, t) for n, t in m.columns if n not in names]
-        m.properties["used_physical"] = sorted(used)
-        if phys_names:
-            m.properties["physical_names"] = phys_names
-        else:
-            m.properties.pop("physical_names", None)
-        if hist:
-            m.properties["rename_history"] = hist
-        else:
-            m.properties.pop("rename_history", None)
-        m.parent = m.version
-        m.version = self._alloc_version()
-        m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m, ref=ref)
+        def run() -> None:
+            m = self.manifest(ref=ref)
+            have = {n for n, _ in m.columns}
+            missing = set(names) - have
+            if missing:
+                raise ValueError(f"drop_columns: no such column(s) {sorted(missing)}")
+            if {"conv_id", "turn_idx"} & set(names):
+                raise ValueError("drop_columns: cannot drop key columns conv_id/turn_idx")
+            pm = self._phys_map(m)
+            used = set(m.properties.get("used_physical") or []) | set(pm.values())
+            dropped_phys = {pm[n] for n in names}
+            phys_names = {
+                k: v for k, v in (m.properties.get("physical_names") or {}).items()
+                if k not in names
+            }
+            hist = {
+                k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()
+                if k not in names
+            }
+            patched = m.properties.get("patched_columns")
+            if patched is not None:
+                m.properties["patched_columns"] = sorted(set(patched) - dropped_phys)
+            m.columns = [(n, t) for n, t in m.columns if n not in names]
+            m.properties["used_physical"] = sorted(used)
+            if phys_names:
+                m.properties["physical_names"] = phys_names
+            else:
+                m.properties.pop("physical_names", None)
+            if hist:
+                m.properties["rename_history"] = hist
+            else:
+                m.properties.pop("rename_history", None)
+            m.parent = m.version
+            m.version = self._alloc_version()
+            m.snapshot_id = uuid.uuid4().hex
+            self._write_manifest(m, ref=ref)
+
+        self._with_commit_lock(run)
 
     def add_columns(self, new_cols: dict[str, str], ref: str = "main") -> None:
         """ADD COLUMN(s): metadata-only commit; existing files are read
@@ -425,39 +448,42 @@ class SnapshotTable:
         used before (dropped column, or the frozen storage name of a
         since-renamed column) gets a FRESH physical name
         ``<name>__f<version>`` so old file data cannot resurface."""
-        m = self.manifest(ref=ref)
-        existing = {n for n, _ in m.columns}
-        added = [(n, t) for n, t in new_cols.items() if n not in existing]
-        if not added:
-            return
-        pm = self._phys_map(m)
-        used = set(m.properties.get("used_physical") or []) | set(pm.values())
-        phys_names = dict(m.properties.get("physical_names") or {})
-        hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
-        for n, _t in added:
-            phys = n if n not in used else f"{n}__f{m.version + 1}"
-            if phys != n:
-                phys_names[n] = phys
-            used.add(phys)
-            # a re-added name is a FRESH field: it owns its payload key
-            # and inherits no alias history
-            hist.pop(n, None)
-            for k in list(hist):
-                hist[k] = [x for x in hist[k] if x != n]
-                if not hist[k]:
-                    del hist[k]
-        m.columns = m.columns + added
-        m.properties["used_physical"] = sorted(used)
-        if phys_names:
-            m.properties["physical_names"] = phys_names
-        if hist:
-            m.properties["rename_history"] = hist
-        else:
-            m.properties.pop("rename_history", None)
-        m.parent = m.version
-        m.version = self._alloc_version()
-        m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m, ref=ref)
+        def run() -> None:
+            m = self.manifest(ref=ref)
+            existing = {n for n, _ in m.columns}
+            added = [(n, t) for n, t in new_cols.items() if n not in existing]
+            if not added:
+                return
+            pm = self._phys_map(m)
+            used = set(m.properties.get("used_physical") or []) | set(pm.values())
+            phys_names = dict(m.properties.get("physical_names") or {})
+            hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
+            for n, _t in added:
+                phys = n if n not in used else f"{n}__f{m.version + 1}"
+                if phys != n:
+                    phys_names[n] = phys
+                used.add(phys)
+                # a re-added name is a FRESH field: it owns its payload key
+                # and inherits no alias history
+                hist.pop(n, None)
+                for k in list(hist):
+                    hist[k] = [x for x in hist[k] if x != n]
+                    if not hist[k]:
+                        del hist[k]
+            m.columns = m.columns + added
+            m.properties["used_physical"] = sorted(used)
+            if phys_names:
+                m.properties["physical_names"] = phys_names
+            if hist:
+                m.properties["rename_history"] = hist
+            else:
+                m.properties.pop("rename_history", None)
+            m.parent = m.version
+            m.version = self._alloc_version()
+            m.snapshot_id = uuid.uuid4().hex
+            self._write_manifest(m, ref=ref)
+
+        self._with_commit_lock(run)
 
     # physically safe type promotions: the parquet scan upcasts these
     # natively (int32 pages read under a bigint read schema, float under
@@ -472,32 +498,35 @@ class SnapshotTable:
         on an int column. Refuses anything but the safe promotions
         above — a lossy or non-upcastable change would corrupt reads of
         files already on disk."""
-        m = self.manifest(ref=ref)
-        names = {n for n, _ in m.columns}
-        unknown = set(changes) - names
-        if unknown:
-            raise ValueError(f"widen_columns: no such column(s) {sorted(unknown)}")
-        out: list[tuple[str, str]] = []
-        changed = False
-        for n, t in m.columns:
-            want = changes.get(n)
-            if want is None or want == t:
-                out.append((n, t))
-                continue
-            if (t, want) not in self.SAFE_WIDENINGS:
-                raise ValueError(
-                    f"widen_columns: unsafe promotion {n}: {t} -> {want}; "
-                    f"allowed: {sorted(self.SAFE_WIDENINGS)}"
-                )
-            out.append((n, want))
-            changed = True
-        if not changed:
-            return
-        m.columns = out
-        m.parent = m.version
-        m.version = self._alloc_version()
-        m.snapshot_id = uuid.uuid4().hex
-        self._write_manifest(m, ref=ref)
+        def run() -> None:
+            m = self.manifest(ref=ref)
+            names = {n for n, _ in m.columns}
+            unknown = set(changes) - names
+            if unknown:
+                raise ValueError(f"widen_columns: no such column(s) {sorted(unknown)}")
+            out: list[tuple[str, str]] = []
+            changed = False
+            for n, t in m.columns:
+                want = changes.get(n)
+                if want is None or want == t:
+                    out.append((n, t))
+                    continue
+                if (t, want) not in self.SAFE_WIDENINGS:
+                    raise ValueError(
+                        f"widen_columns: unsafe promotion {n}: {t} -> {want}; "
+                        f"allowed: {sorted(self.SAFE_WIDENINGS)}"
+                    )
+                out.append((n, want))
+                changed = True
+            if not changed:
+                return
+            m.columns = out
+            m.parent = m.version
+            m.version = self._alloc_version()
+            m.snapshot_id = uuid.uuid4().hex
+            self._write_manifest(m, ref=ref)
+
+        self._with_commit_lock(run)
 
     # ------------------------------------------------------------ read
 
@@ -1168,7 +1197,17 @@ class SnapshotTable:
         The exactly-once ledger rolls back WITH the manifest: batches
         committed after the target become un-committed, so a source
         replay re-applies them and the table converges again — exactly
-        the recover-by-replay contract the north rule requires."""
+        the recover-by-replay contract the north rule requires.
+
+        Like Iceberg's rollback, this COMMITS A NEW manifest whose
+        data state (columns, buckets, ledger, watermarks) is the
+        target's, rather than swinging the pointer to the old file:
+        registry-style properties that must outlive any rollback — the
+        tag registry (create_tag's "protected until drop_tag"
+        contract) and staged-WAP entries (their files stay
+        GC-protected) — are carried over from the abandoned head. A
+        bare pointer swing would silently revert both registries to
+        their state at the target commit."""
 
         def run() -> int:
             v = version
@@ -1187,8 +1226,22 @@ class SnapshotTable:
                     f"cannot roll {ref!r} back to v{v}: not an ancestor of "
                     f"the current head v{cur}"
                 )
-            self.manifest(v)  # must be readable
-            self._set_head(ref, v)
+            head = self.manifest(cur)
+            m = self.manifest(v)
+            for registry in ("tags", "wap"):
+                reg = head.properties.get(registry)
+                if reg:
+                    m.properties[registry] = reg
+                else:
+                    m.properties.pop(registry, None)
+            m.parent = cur
+            m.version = self._alloc_version()
+            m.snapshot_id = uuid.uuid4().hex
+            m.lineage.append(
+                {"op": "rollback", "restored_version": v,
+                 "snapshot_id": m.snapshot_id, "parent_snapshot": head.snapshot_id}
+            )
+            self._write_manifest(m, ref=ref)
             return v
 
         return self._with_commit_lock(run)
@@ -1578,57 +1631,73 @@ class SnapshotTable:
         an empty file list while exactly-once tracking still marks the
         batch committed — permanent silent loss. An hour-old staging
         dir can only be a crashed writer (a healthy batch commits in
-        seconds). Pass 0 only when the caller KNOWS no writer is live."""
-        # Retention is per-REF: the last ``keep_versions`` ancestors of
-        # EVERY ref head (main + each branch), walked over parent links
-        # — version numbers are globally allocated across chains, so a
-        # chain is NOT a numeric range. Computed under the commit lock:
-        # no head can move and no manifest is mid-commit while the keep
-        # set is decided.
-        def plan() -> tuple[set[int], set[str]]:
-            heads = {"main": self._head_version("main"), **self._read_refs()}
-            ks: set[int] = set()
-            refd: set[str] = set()
-            for hv in heads.values():
-                v: int | None = hv
-                hops = 0
-                while v is not None and hops < keep_versions:
-                    ks.add(v)
-                    hops += 1
+        seconds). Pass 0 only when the caller KNOWS no writer is live.
+
+        Retention is per-REF: main keeps its last ``keep_versions``
+        ancestors (parent-link walk — version numbers are globally
+        allocated across chains, so a chain is NOT a numeric range);
+        each BRANCH keeps its head's chain all the way DOWN TO a
+        version main's window retains (its fork point, in the common
+        case) — pruning a mid-chain branch manifest would break the
+        ancestor walk ``fast_forward`` relies on and brick the publish.
+        Tagged versions stay until drop_tag; staged WAP files on any
+        ref head are live. The ENTIRE pass — keep-set planning AND
+        deletion — runs under the commit lock, so a commit can never
+        land between the plan and the delete and lose its just-written
+        manifest (deletion is metadata-scale: a few listdir + unlink)."""
+
+        def run() -> list[str]:
+            refs = self._read_refs()
+            keep_set: set[int] = set()
+            referenced: set[str] = set()
+            # main's window first: branch walks stop when they reach it
+            v: int | None = self._head_version("main")
+            hops = 0
+            while v is not None and hops < keep_versions:
+                keep_set.add(v)
+                hops += 1
+                try:
+                    v = self.manifest(v).parent
+                except FileNotFoundError:
+                    break
+            for hv in refs.values():
+                v = hv
+                while v is not None and v not in keep_set:
+                    keep_set.add(v)
                     try:
                         v = self.manifest(v).parent
                     except FileNotFoundError:
                         break
+            for hv in [self._head_version("main"), *refs.values()]:
                 head_m = self.manifest(hv)
-                # tagged versions are retention-PROTECTED (Iceberg tag
-                # semantics) until drop_tag; staged-but-unpublished WAP
-                # batches are live state, not orphans — on ANY chain
-                ks.update(int(t) for t in head_m.properties.get("tags", {}).values())
+                keep_set.update(
+                    int(t) for t in head_m.properties.get("tags", {}).values()
+                )
                 for w in head_m.properties.get("wap", {}).values():
                     for fs in w.get("buckets", {}).values():
-                        refd.update(fs)
-            return ks, refd
+                        referenced.update(fs)
+            for kv in sorted(keep_set):
+                try:
+                    m = self.manifest(kv)
+                except FileNotFoundError:
+                    continue
+                for fs in m.buckets.values():
+                    referenced.update(fs)
+            deleted: list[str] = []
+            data_dir = os.path.join(self.root, "data")
+            for fn in os.listdir(data_dir):
+                rel = f"data/{fn}"
+                if rel not in referenced:
+                    os.remove(os.path.join(data_dir, fn))
+                    deleted.append(rel)
+            man_dir = os.path.join(self.root, "_manifests")
+            for fn in os.listdir(man_dir):
+                mv = int(fn[1:-5])  # v{N}.json
+                if mv not in keep_set:
+                    os.remove(os.path.join(man_dir, fn))
+            return deleted
 
-        keep_set, referenced = self._with_commit_lock(plan)
-        for v in sorted(keep_set):
-            try:
-                m = self.manifest(v)
-            except FileNotFoundError:
-                continue
-            for fs in m.buckets.values():
-                referenced.update(fs)
-        deleted: list[str] = []
-        data_dir = os.path.join(self.root, "data")
-        for fn in os.listdir(data_dir):
-            rel = f"data/{fn}"
-            if rel not in referenced:
-                os.remove(os.path.join(data_dir, fn))
-                deleted.append(rel)
-        man_dir = os.path.join(self.root, "_manifests")
-        for fn in os.listdir(man_dir):
-            v = int(fn[1:-5])  # v{N}.json
-            if v not in keep_set:
-                os.remove(os.path.join(man_dir, fn))
+        deleted = self._with_commit_lock(run)
         # clear abandoned staging dirs (crashed writes) — but only past
         # the grace window, never an in-flight writer's dir (see docstring)
         import time as _time

@@ -315,3 +315,63 @@ def test_concurrent_main_and_branch_writers(spark, log3, tmp_path):
     check_equal(table_to_pandas(table), expected_final_state(log))
     check_equal(table_to_pandas(table, ref="b"), expected_final_state(log))
     assert len(main_state_before) <= len(table_to_pandas(table))
+
+
+def test_tags_survive_rollback_and_stay_gc_protected(spark, log3, tmp_path):
+    """Rollback commits a NEW manifest carrying the tag registry
+    forward — a tag created AFTER the rollback target must stay
+    resolvable and its pinned version must stay GC-protected
+    (create_tag's 'protected until drop_tag' contract)."""
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    early = table.create_tag("early")
+    apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    late = table.create_tag("late")
+    late_state = table_to_pandas(table)
+    table.rollback(tag="early")
+    # both tags still resolvable after the rollback
+    assert table.resolve_tag("early") == early
+    assert table.resolve_tag("late") == late
+    table.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    # the late tag's pinned version survived aggressive GC
+    assert table.read_final(tag="late").count() == len(late_state)
+
+
+def test_version_numbers_never_reused_after_rollback_and_gc(spark, log3, tmp_path):
+    """The persisted high-water mark keeps version allocation monotone
+    even when rollback + GC deletes the highest-numbered manifests —
+    a checkpointed CDF consumer keyed on version numbers must never
+    see a version reused with different contents."""
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    fork = table.manifest().version
+    apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    abandoned = table.manifest().version
+    table.rollback(version=fork)
+    table.gc_orphans(keep_versions=1, staging_grace_seconds=0)
+    m = apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    assert not m.skipped
+    assert table.manifest().version > abandoned, (
+        "replayed commit must not reuse the abandoned version number"
+    )
+
+
+def test_fast_forward_survives_aggressive_gc_of_long_branch(spark, log3, tmp_path):
+    """GC keeps a branch's chain down to its fork point (not just
+    keep_versions hops), so fast_forward's ancestor walk still reaches
+    main's head after default maintenance on a many-commit branch."""
+    batches, log = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    table.create_branch("long")
+    cfg_b = ApplyConfig(branch="long", auto_compact=False)
+    # five branch commits > keep_versions
+    for i, b in enumerate([batches[1], batches[2], batches[1], batches[2], batches[1]]):
+        apply_batch(_df(spark, b), table, batch_id=i + 1,
+                    cfg=ApplyConfig(branch="long", app_id=f"a{i}",
+                                    auto_compact=False))
+    table.gc_orphans(keep_versions=2, staging_grace_seconds=0)
+    table.fast_forward("main", "long")
+    check_equal(table_to_pandas(table), expected_final_state(log))
