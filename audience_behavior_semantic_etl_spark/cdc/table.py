@@ -1184,6 +1184,76 @@ class SnapshotTable:
 
         return self._with_commit_lock(run)
 
+    def cherry_pick(self, version: int, ref: str = "main") -> str | None:
+        """Re-apply ONE append-only commit (usually a branch commit)
+        onto ``ref``'s head as a new commit — the Iceberg
+        cherrypickSnapshot analog, and the escape hatch when
+        ``fast_forward`` is refused because the target diverged: pick
+        the branch's commits one by one instead of replaying them from
+        source. Copies the commit's file ADDITIONS (no data rewrite —
+        read-side LWW makes the union correct even when key ranges
+        overlap), its file stats, and its exactly-once ledger +
+        watermark DELTAS vs its parent, so the picked batch's
+        re-delivery no-ops on ``ref`` exactly as if it had been applied
+        there. Refuses rewrite commits (compaction/purge/rebucket) —
+        their file lists are relative to a base the target may not
+        share (the Iceberg limitation). Idempotent: picking a batch the
+        target ledger already holds returns None without committing."""
+        src = self.manifest(version)
+        if src.parent is None:
+            raise ValueError("cherry_pick: the create commit cannot be picked")
+        par = self.manifest(src.parent)
+        par_files = {f for fs in par.buckets.values() for f in fs}
+        src_files = {f for fs in src.buckets.values() for f in fs}
+        if par_files - src_files:
+            raise ValueError(
+                f"cherry_pick: v{version} is a rewrite commit "
+                "(compaction/purge/rebucket); only append commits can be picked"
+            )
+        added_by_b = {
+            b: [f for f in fs if f not in par_files]
+            for b, fs in src.buckets.items()
+        }
+        added_by_b = {b: rels for b, rels in added_by_b.items() if rels}
+        src_ledger = src.properties.get("committed_batches", {})
+        par_ledger = par.properties.get("committed_batches", {})
+        app_delta = {a: b for a, b in src_ledger.items() if par_ledger.get(a) != b}
+        if len(app_delta) != 1:
+            raise ValueError(
+                f"cherry_pick: v{version} is not a single-batch apply commit "
+                f"(ledger delta: {app_delta})"
+            )
+        (app_id, batch_id), = app_delta.items()
+        if self.is_batch_committed(app_id, int(batch_id), ref=ref):
+            return None  # already on the target chain — no-op
+        src_wm = src.properties.get("watermarks", {})
+        par_wm = par.properties.get("watermarks", {})
+        wm_delta = {p: int(l) for p, l in src_wm.items() if par_wm.get(p) != l}
+        added_flat = {f for fs in added_by_b.values() for f in fs}
+        stats = {
+            f: v for f, v in (src.properties.get("file_stats") or {}).items()
+            if f in added_flat
+        }
+
+        def mutate(m: Manifest) -> None:
+            for b, rels in added_by_b.items():
+                have = set(m.buckets.get(b, []))
+                m.buckets[b] = list(m.buckets.get(b, [])) + [
+                    r for r in rels if r not in have
+                ]
+            if stats:
+                m.properties.setdefault("file_stats", {}).update(stats)
+
+        return self._commit(
+            mutate,
+            app_id,
+            int(batch_id),
+            wm_delta,
+            {"op": "cherry_pick", "source_version": int(version),
+             "batch_id": int(batch_id)},
+            ref=ref,
+        )
+
     def rollback(self, version: int | None = None, tag: str | None = None,
                  ref: str = "main") -> int:
         """Roll ``ref`` back to an OLDER version of its own chain (the

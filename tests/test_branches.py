@@ -375,3 +375,57 @@ def test_fast_forward_survives_aggressive_gc_of_long_branch(spark, log3, tmp_pat
     table.gc_orphans(keep_versions=2, staging_grace_seconds=0)
     table.fast_forward("main", "long")
     check_equal(table_to_pandas(table), expected_final_state(log))
+
+
+def test_cherry_pick_publishes_diverged_branch_commit_by_commit(spark, log3, tmp_path):
+    """When main diverged after the fork, fast_forward is refused —
+    cherry_pick re-applies the branch's append commits one by one:
+    file additions + the ledger/watermark deltas ride each pick, so
+    re-delivery of a picked batch no-ops on main."""
+    # a DDL-free log: cherry_pick replicates APPEND commits only
+    # (Iceberg parity) — schema evolution publishes via fast_forward
+    log = generate_change_log(GenConfig(seed=13, n_convs=40, schema_change_at=2.0))
+    log = log[log["op"] != "schema_change"]
+    log = log.sort_values("lsn", kind="mergesort").reset_index(drop=True)
+    n = len(log)
+    batches = [log.iloc[: n // 3], log.iloc[n // 3 : 2 * n // 3], log.iloc[2 * n // 3 :]]
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    fork = table.create_branch("b")  # the fork version, BEFORE branch commits
+    apply_batch(_df(spark, batches[1]), table, batch_id=0,
+                cfg=ApplyConfig(app_id="br", branch="b", auto_compact=False))
+    apply_batch(_df(spark, batches[2]), table, batch_id=1,
+                cfg=ApplyConfig(app_id="br", branch="b", auto_compact=False))
+    # main diverges -> fast-forward refused
+    apply_batch(_df(spark, batches[2]), table, batch_id=1)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        table.fast_forward("main", "b")
+    # pick the two branch commits, oldest first (walk the branch chain
+    # from its head down to the recorded fork version)
+    chain = []
+    v = table.manifest(ref="b").version
+    while v is not None and v != fork:
+        chain.append(v)
+        v = table.manifest(v).parent
+    assert len(chain) == 2, chain
+    for pv in reversed(chain):
+        table.cherry_pick(pv)
+    check_equal(table_to_pandas(table), expected_final_state(log))
+    # the picked batches' ledger rode along: re-delivery no-ops on main
+    assert apply_batch(_df(spark, batches[1]), table, batch_id=0,
+                       cfg=ApplyConfig(app_id="br")).skipped
+    # duplicate pick is a no-op, not a double-append
+    n = table.read_final().count()
+    assert table.cherry_pick(chain[-1]) is None
+    assert table.read_final().count() == n
+
+
+def test_cherry_pick_refuses_rewrite_commits(spark, log3, tmp_path):
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_df(spark, batches[0]), table, batch_id=0)
+    apply_batch(_df(spark, batches[1]), table, batch_id=1)
+    table.compact_buckets([0, 1])
+    compaction_v = table.manifest().version
+    with pytest.raises(ValueError, match="rewrite commit"):
+        table.cherry_pick(compaction_v)
