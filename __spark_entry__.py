@@ -1380,6 +1380,56 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "text")
 
 
+def q_cdc_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHERRY-PICK PUBLISH onto a DIVERGED main (table.cherry_pick —
+    the Iceberg cherrypickSnapshot analog): batch 0 lands on main; a
+    branch absorbs batch 1; main then diverges with batch 2, so
+    fast_forward is refused (asserted) — the branch commit is published
+    by re-applying its file additions + ledger/watermark deltas onto
+    main's head. The oracle is full-log LWW, so the row hashes green
+    only if the pick carried the branch batch completely and the LWW
+    union with main's diverged commit resolved identically to a direct
+    apply. In-query assertions pin the refused fast-forward, the
+    ledger carry (re-delivery of the picked batch no-ops on main), and
+    pick idempotence (a duplicate pick returns None, no double-append)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-cherry-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-cp", auto_compact=False, shuffle_partitions=8)
+    bcfg = ApplyConfig(
+        app_id="cdc-cp-br", auto_compact=False, shuffle_partitions=8, branch="audit"
+    )
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    third = F.pmod(F.col("lsn"), F.lit(3))
+    apply_batch(env.filter(third == 0), table, 0, cfg)
+    fork = table.create_branch("audit")
+    apply_batch(env.filter(third == 1), table, 0, bcfg)
+    apply_batch(env.filter(third == 2), table, 1, cfg)  # main diverges
+    try:
+        table.fast_forward("main", "audit")
+        raise AssertionError("diverged fast-forward must be refused")
+    except ValueError:
+        pass
+    # the branch chain above the fork is exactly one append commit
+    picked = table.manifest(ref="audit").version
+    assert table.manifest(picked).parent == fork
+    table.cherry_pick(picked)
+    assert apply_batch(env.filter(third == 1), table, 0, ApplyConfig(
+        app_id="cdc-cp-br", auto_compact=False, shuffle_partitions=8)).skipped, (
+        "picked batch's ledger must ride the pick")
+    n = table.read_final().count()
+    assert table.cherry_pick(picked) is None, "duplicate pick must no-op"
+    assert table.read_final().count() == n
+    return table.read_final().select("conv_id", "turn_idx", "text")
+
+
 def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE FAN-OUT apply (cdc/fanout.py): one WAL carries two
     tables' changes interleaved (routes: even vs odd conversations);
@@ -2610,9 +2660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window (both need their first driver row); q_dedup_lww +
     # q_text_profile (2-3 green rounds each) rotate to the tail.
     # Round 4c: q_cdc_wap + q_cdc_rename_evolution + q_cdc_branch +
-    # q_cdc_rollback enter the window; q_goal_attribution +
-    # q_session_flags + q_metric_layers + q_ann_ivf_topk (each green
-    # r2+r3, IVF still window-covered by q_ann_ivf_refine) rotate out.
+    # q_cdc_rollback + q_cdc_cherry_pick enter the window;
+    # q_goal_attribution + q_session_flags + q_metric_layers +
+    # q_ann_ivf_topk + q_stream_dedup (each green r2+r3; IVF stays
+    # window-covered by q_ann_ivf_refine, streaming by
+    # q_stream_tumbling_counts/enrich/join/sessionize) rotate out.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
@@ -2638,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_rename_evolution": q_cdc_rename_evolution,  # new round-4c
         "q_cdc_branch": q_cdc_branch,  # new round-4c
         "q_cdc_rollback": q_cdc_rollback,  # new round-4c
+        "q_cdc_cherry_pick": q_cdc_cherry_pick,  # new round-4c
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
@@ -2650,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stream_join": q_stream_stream_join,  # new round-4
         # --- positions 36-50: need a hard driver CORRECTNESS row ---
         # round-2 additions the round-2 harness never reached
-        "q_stream_dedup": q_stream_dedup,
         "q_cdc_time_travel": q_cdc_time_travel,
         "q_corpus_curation": q_corpus_curation,
         "q_decontaminate": q_decontaminate,
@@ -2718,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_session_flags": q_session_flags,
         "q_metric_layers": q_metric_layers,
         "q_ann_ivf_topk": q_ann_ivf_topk,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -3337,6 +3390,24 @@ def oracle_sql() -> dict[str, str]:
         # cleanly AND the ledger rolled back so the replay re-applied it
         # (intermediate states pinned by in-query assertions).
         "q_cdc_rollback": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events)
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT t.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev t) u
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # Cherry-pick publish onto a diverged main: full-log LWW —
+        # green only if the picked branch commit landed completely and
+        # resolved identically to a direct apply (divergence, ledger
+        # carry and idempotence pinned by in-query assertions).
+        "q_cdc_cherry_pick": """
             WITH ev AS (
               SELECT event_id AS lsn,
                      CAST(user_id AS VARCHAR) AS conv_id,
