@@ -1126,14 +1126,26 @@ class SnapshotTable:
 
         return self._with_commit_lock(run)
 
-    def drop_branch(self, name: str) -> None:
-        """Delete a branch ref; its unpublished commits become GC-able
-        once they age out of every other ref's retention window."""
+    def drop_branch(self, name: str, force: bool = False) -> None:
+        """Delete a branch ref; its commits become GC-able once they
+        age out of every other ref's retention window. Refuses when the
+        branch holds UNPUBLISHED commits (its head is not an ancestor
+        of main — dropping would silently discard applied batches; the
+        git ``-d`` vs ``-D`` distinction) unless ``force=True``."""
 
         def run() -> None:
             refs = self._read_refs()
             if name not in refs:
                 raise ValueError(f"no such branch {name!r}")
+            if not force:
+                head = refs[name]
+                main = self._head_version("main")
+                if not self._is_ancestor(head, main):
+                    raise ValueError(
+                        f"branch {name!r} (v{head}) has unpublished commits; "
+                        "fast_forward/cherry_pick first, or drop_branch(..., "
+                        "force=True) to discard them"
+                    )
             del refs[name]
             self._write_refs(refs)
 
@@ -1683,6 +1695,11 @@ class SnapshotTable:
             "committed_batches": {
                 app: int(b) for app, b in m.properties.get("committed_batches", {}).items()
             },
+            # dangling audit state a resuming operator must decide on:
+            # branches awaiting publish/drop, staged WAPs awaiting
+            # publish/reject (both retention-protected until resolved)
+            "branches": self._read_refs(),
+            "staged_waps": sorted(m.properties.get("wap", {})),
         }
 
     def gc_orphans(

@@ -134,7 +134,10 @@ def test_gc_protects_branch_chain_until_dropped(spark, log3, tmp_path):
     # branch still fully readable after aggressive GC
     check_equal(table_to_pandas(table, ref="keepme"), expected_final_state(log))
     branch_head = table.branches()["keepme"]
-    table.drop_branch("keepme")
+    # unpublished commits: a plain drop refuses (the git -d vs -D rule)
+    with pytest.raises(ValueError, match="unpublished"):
+        table.drop_branch("keepme")
+    table.drop_branch("keepme", force=True)
     table.gc_orphans(keep_versions=1, staging_grace_seconds=0)
     with pytest.raises(FileNotFoundError):
         table.manifest(branch_head)
