@@ -261,7 +261,13 @@ class SnapshotTable:
         return nxt
 
     def _write_manifest(self, m: Manifest, ref: str = "main") -> None:
-        """Write-manifest-last atomic commit; advances ``ref``'s head."""
+        """Write-manifest-last atomic commit; advances ``ref``'s head.
+        Stamps the commit wall-clock (``committed_at``) — manifests are
+        write-once, so the stamp is the commit time, and age-based
+        retention (gc_orphans ``max_age_seconds``) reads it back."""
+        import time as _time
+
+        m.properties["committed_at"] = _time.time()
         mpath = os.path.join(self.root, "_manifests", f"v{m.version}.json")
         with open(mpath, "w") as f:
             f.write(m.to_json())
@@ -1673,7 +1679,10 @@ class SnapshotTable:
         return self._with_commit_lock(run)
 
     def startup_maintenance(
-        self, keep_versions: int = 3, staging_grace_seconds: float = 3600.0
+        self,
+        keep_versions: int = 3,
+        staging_grace_seconds: float = 3600.0,
+        max_age_seconds: float | None = None,
     ) -> dict:
         """Resume-time housekeeping for a process that may have crashed
         anywhere — including the window between a background
@@ -1685,7 +1694,9 @@ class SnapshotTable:
         per-app exactly-once ledger makes re-delivered batches no-op,
         so callers just run this and restart the stream."""
         deleted = self.gc_orphans(
-            keep_versions=keep_versions, staging_grace_seconds=staging_grace_seconds
+            keep_versions=keep_versions,
+            staging_grace_seconds=staging_grace_seconds,
+            max_age_seconds=max_age_seconds,
         )
         m = self.manifest()
         return {
@@ -1703,7 +1714,10 @@ class SnapshotTable:
         }
 
     def gc_orphans(
-        self, keep_versions: int = 3, staging_grace_seconds: float = 3600.0
+        self,
+        keep_versions: int = 3,
+        staging_grace_seconds: float = 3600.0,
+        max_age_seconds: float | None = None,
     ) -> list[str]:
         """Delete data files referenced by NO manifest within the last
         ``keep_versions`` committed versions (and drop older manifests).
@@ -1728,10 +1742,17 @@ class SnapshotTable:
         case) — pruning a mid-chain branch manifest would break the
         ancestor walk ``fast_forward`` relies on and brick the publish.
         Tagged versions stay until drop_tag; staged WAP files on any
-        ref head are live. The ENTIRE pass — keep-set planning AND
+        ref head are live. ``max_age_seconds`` adds time-based retention
+        (the Iceberg ``expire_snapshots(olderThan, retainLast)`` pair):
+        main's chain is ALSO kept while commits are younger than the
+        cutoff — ``keep_versions`` is then the retain-last floor, the
+        age bound the ceiling. The ENTIRE pass — keep-set planning AND
         deletion — runs under the commit lock, so a commit can never
         land between the plan and the delete and lose its just-written
         manifest (deletion is metadata-scale: a few listdir + unlink)."""
+        import time as _time
+
+        cutoff = None if max_age_seconds is None else _time.time() - max_age_seconds
 
         def run() -> list[str]:
             refs = self._read_refs()
@@ -1740,7 +1761,17 @@ class SnapshotTable:
             # main's window first: branch walks stop when they reach it
             v: int | None = self._head_version("main")
             hops = 0
-            while v is not None and hops < keep_versions:
+            while v is not None:
+                if hops >= keep_versions:
+                    if cutoff is None:
+                        break
+                    try:
+                        ts = self.manifest(v).properties.get("committed_at")
+                    except FileNotFoundError:
+                        break
+                    # pre-stamp manifests (no committed_at) count as old
+                    if ts is None or float(ts) < cutoff:
+                        break
                 keep_set.add(v)
                 hops += 1
                 try:

@@ -432,3 +432,41 @@ def test_cherry_pick_refuses_rewrite_commits(spark, log3, tmp_path):
     compaction_v = table.manifest().version
     with pytest.raises(ValueError, match="rewrite commit"):
         table.cherry_pick(compaction_v)
+
+
+def test_age_based_expiry_keeps_young_commits_beyond_window(spark, log3, tmp_path):
+    """gc_orphans(max_age_seconds=...) is the Iceberg
+    expire_snapshots(olderThan, retainLast) pair: keep_versions is the
+    retain-last floor, the age bound extends retention for young
+    commits and expires old ones past the floor. Commit timestamps are
+    stamped into each manifest (committed_at) at write time; the test
+    ages some manifests by rewriting that stamp (manifests are plain
+    JSON on disk)."""
+    import json as _json
+    import os
+    import time
+
+    batches, _ = log3
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(4):
+        apply_batch(_df(spark, batches[i % 3]), table, batch_id=i,
+                    cfg=ApplyConfig(app_id=f"a{i}", auto_compact=False))
+    vs = table._retained_versions()
+    assert len(vs) >= 5
+    # everything young: age bound keeps the WHOLE chain past keep_versions=1
+    deleted = table.gc_orphans(keep_versions=1, staging_grace_seconds=0,
+                               max_age_seconds=3600)
+    assert table._retained_versions() == vs, deleted
+    # age the three oldest manifests far past the cutoff
+    for v in vs[:3]:
+        mp = os.path.join(table.root, "_manifests", f"v{v}.json")
+        d = _json.loads(open(mp).read())
+        d["properties"]["committed_at"] = time.time() - 10_000
+        open(mp, "w").write(_json.dumps(d))
+    table.gc_orphans(keep_versions=1, staging_grace_seconds=0,
+                     max_age_seconds=3600)
+    left = table._retained_versions()
+    # the aged prefix is expired (walk stops at the first old commit),
+    # the young suffix and the head survive
+    assert vs[0] not in left and vs[-1] in left
+    assert table.read_final().count() > 0
