@@ -115,6 +115,11 @@ def main() -> int:
              "batches amortize the per-batch fixed driver cost",
     )
     ap.add_argument(
+        "--branch", action="store_true",
+        help="apply onto a BRANCH ref instead of main (A/B: branch refs "
+             "ride the hot apply path as pure metadata — expect ~1.0x)",
+    )
+    ap.add_argument(
         "--codec", default=None,
         help="parquet compression codec override for spool+table writes "
              "(snappy default; lz4/zstd/uncompressed trade CPU vs bytes)",
@@ -194,6 +199,10 @@ def main() -> int:
         shutil.rmtree(f"{work}/warm", ignore_errors=True)
 
         table = SnapshotTable.create(spark, f"{work}/table", n_buckets=args.n_buckets)
+        cfg = ApplyConfig()
+        if args.branch:
+            table.create_branch("bench")
+            cfg = ApplyConfig(branch="bench")
         os.system("sync")  # drain pending writeback from generation/warmup
         t0 = time.perf_counter()
         run = run_wal_stream(
@@ -201,14 +210,14 @@ def main() -> int:
             wal,
             table,
             f"{work}/ckpt",
-            ApplyConfig(),
+            cfg,
             max_files_per_trigger=args.files_per_trigger,
         )
         secs = time.perf_counter() - t0
         if run.error:
             raise run.error
         applied = sum(m.events for m in run.metrics if not m.skipped)
-        final_rows = table.read_final().count()
+        final_rows = table.read_final(ref="bench" if args.branch else "main").count()
         out = {
             "cpus": args.cpus,
             "events": int(applied),
@@ -223,6 +232,7 @@ def main() -> int:
             "hot_keys_seen": int(sum(m.hot_keys for m in run.metrics)),
             "hot_mult": args.hot_mult,
             "partial_frac": args.partial_frac,
+            "branch": bool(args.branch),
         }
         if args.check:
             expected = duckdb_expected_keys(wal)

@@ -1295,6 +1295,87 @@ def q_cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_final().select("conv_id", "turn_idx", "content")
 
 
+def q_cdc_replicate_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION THROUGH THE REPLICATION PIPE (round-4 verdict
+    ask #7, composing its two biggest features): source table → CDF
+    stream → envelope re-translation → apply into a REPLICA
+    (cdc/replicate.py), with a mid-stream RENAME on the source. Batch 0
+    lands v1 payloads (key ``text``) and drain #1 replicates them; the
+    source then renames ``text -> content`` and batch 1 carries a mixed
+    tail (even lsns under the new name, odd-lsn stragglers still under
+    the former name); drain #2 must make the replica FOLLOW the rename
+    — its own column renamed via the source's rename history, never a
+    fresh add — and converge. The oracle is plain full-log LWW under
+    the final name: it cannot tell that a rename, a CDF hop, or an
+    envelope re-translation ever happened."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.replicate import replicate_stream
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("ts").alias("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("int").alias("turn_idx"),
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_str"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("source_part"),
+    )
+
+    def _env(df, key):
+        return df.select(
+            "lsn", "ts", "op", "conv_id", "turn_idx",
+            F.when(F.col("op") == "delete", F.lit("{}"))
+            .otherwise(
+                F.to_json(
+                    F.struct(
+                        F.lit("user").alias("role"),
+                        F.col("event_type").alias(key),
+                        F.col("ts_str").alias("ts"),
+                    )
+                )
+            )
+            .alias("payload"),
+            F.lit(1).cast("int").alias("schema_ver"),
+            "source_part",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cdc-repl-ren-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="rr-src", auto_compact=False, shuffle_partitions=8)
+    rcfg = ApplyConfig(auto_compact=False, shuffle_partitions=8)
+    src = SnapshotTable.create(spark, f"{tmp}/src", n_buckets=8)
+    rep = SnapshotTable.create(spark, f"{tmp}/rep", n_buckets=8)
+    third = F.pmod(F.col("lsn"), F.lit(3))
+    apply_batch(_env(base.filter(third != 0), "text"), src, 0, cfg)
+    replicate_stream(src, rep, f"{tmp}/ckpt", apply_cfg=rcfg).awaitTermination(600)
+
+    src.rename_columns({"text": "content"})
+    tail = base.filter(third == 0)
+    half = F.pmod(F.col("lsn"), F.lit(2))
+    apply_batch(
+        _env(tail.filter(half == 0), "content")
+        .unionByName(_env(tail.filter(half == 1), "text")),
+        src, 1, cfg,
+    )
+    replicate_stream(src, rep, f"{tmp}/ckpt", apply_cfg=rcfg).awaitTermination(600)
+
+    rep_cols = {c for c, _ in rep.manifest().columns}
+    assert "content" in rep_cols and "text" not in rep_cols
+    # a RENAME followed, not a fresh add: the replica's stored column
+    # name stays frozen and its history coalesces straggler payloads
+    assert rep._phys_map()["content"] == "text"
+    assert rep.rename_history()["content"] == ["text"]
+    return rep.read_final().select("conv_id", "turn_idx", "content")
+
+
 def q_cdc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRANCH REFS + FAST-FORWARD PUBLISH through the real engine
     (table.create_branch / ApplyConfig(branch=...) / fast_forward —
@@ -2665,6 +2746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_ann_ivf_topk + q_stream_dedup (each green r2+r3; IVF stays
     # window-covered by q_ann_ivf_refine, streaming by
     # q_stream_tumbling_counts/enrich/join/sessionize) rotate out.
+    # Round 5: q_cdc_replicate_rename (schema evolution THROUGH the
+    # CDF/replication pipe — verdict r4 ask #7) enters the window;
+    # q_ann_lsh_topk (green r1-r4; ANN stays window-covered by
+    # q_ann_ivf_refine) rotates to the tail.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
@@ -2691,13 +2776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_branch": q_cdc_branch,  # new round-4c
         "q_cdc_rollback": q_cdc_rollback,  # new round-4c
         "q_cdc_cherry_pick": q_cdc_cherry_pick,  # new round-4c
+        "q_cdc_replicate_rename": q_cdc_replicate_rename,  # new round-5
         # training-data pipeline ops
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
         "q_dedup_clusters": q_dedup_clusters,  # new round-4
         "q_embed_quantize": q_embed_quantize,  # new round-4
         # enrichment UDFs (U1/U2/U12) + metric layers (M5)
-        "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_stream_tumbling_counts": q_stream_tumbling_counts,
         "q_stream_enrich": q_stream_enrich,  # new round-4
         "q_stream_stream_join": q_stream_stream_join,  # new round-4
@@ -2728,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # earlier rounds; still run by pytest oracle parity ---
         "q_as_of_join": q_as_of_join,
         "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_ann_lsh_topk": q_ann_lsh_topk,  # r1-r4 green; rotated out r5
         "q_dedup_simhash": q_dedup_simhash,
         "q_embedding_dups": q_embedding_dups,
         "q_json_ingest": q_json_ingest,
@@ -3287,6 +3373,26 @@ def oracle_sql() -> dict[str, str]:
         # payload key carried them — the oracle cannot tell the rename
         # ever happened.
         "q_cdc_rename_evolution": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS content
+              FROM events),
+            latest AS (
+              SELECT * FROM (
+                SELECT ev.*, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+                FROM ev) WHERE rn = 1)
+            SELECT conv_id, turn_idx, content FROM latest WHERE is_del = 0
+        """,
+        # Replication + mid-stream rename must converge to plain
+        # full-log LWW under the FINAL name — the oracle cannot tell
+        # that a rename, a CDF hop, or the envelope re-translation ever
+        # happened (same invariance contract as q_cdc_rename_evolution,
+        # now composed through the replica).
+        "q_cdc_replicate_rename": """
             WITH ev AS (
               SELECT event_id AS lsn,
                      CAST(user_id AS VARCHAR) AS conv_id,

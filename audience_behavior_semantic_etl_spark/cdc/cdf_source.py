@@ -113,14 +113,27 @@ def _appended_files(root: str, start: int, end: int) -> list[tuple[str, int]]:
     while v > start:
         man = _manifest_dict(root, v)
         parent = man.get("parent")
-        prev = (
-            {f for fs in _manifest_dict(root, parent)["buckets"].values() for f in fs}
-            if parent is not None
-            else set()
-        )
-        cur = {f for fs in man["buckets"].values() for f in fs}
-        if not (prev - cur):  # pure append (or metadata-only): deliver
-            out.extend((f, v) for f in cur - prev)
+        files = man.get("files")
+        if files is not None:
+            # delta-manifest format: the commit's own add/remove summary
+            # is stored — no parent read, no full-file-map diff. A
+            # commit with removals is maintenance (skipped); otherwise
+            # its additions are the new row versions.
+            if not files.get("removed"):
+                out.extend(
+                    (f, v)
+                    for fs in files.get("added", {}).values()
+                    for f in fs
+                )
+        else:  # legacy full-format manifest: structural diff vs parent
+            prev = (
+                {f for fs in _manifest_dict(root, parent)["buckets"].values() for f in fs}
+                if parent is not None
+                else set()
+            )
+            cur = {f for fs in man["buckets"].values() for f in fs}
+            if not (prev - cur):  # pure append (or metadata-only): deliver
+                out.extend((f, v) for f in cur - prev)
         if parent is None:
             break
         v = parent

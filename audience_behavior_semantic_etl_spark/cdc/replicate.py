@@ -29,8 +29,13 @@ LSN, and the apply path's cross-batch LWW guard + read-side fold make
 replay order-insensitive within the at-least-once window.
 
 Schema evolution: before each micro-batch the target's column set is
-synced to the source manifest (``add_columns`` is metadata-only), so a
-mid-stream DDL on the source replicates forward; the STREAM's own
+synced to the source manifest — ADDs replicate via ``add_columns``,
+RENAMEs are followed via the source's rename history (the replica
+renames its own column rather than minting a fresh one, so replica
+data stays under the field and either payload key keeps landing —
+see ``_apply``); both are metadata-only commits. DROPs are NOT
+propagated (the replica keeps the column; payloads simply stop
+setting it — the conservative replication default). The STREAM's own
 column set is pinned at start (standard source contract), so values
 for newly added columns flow after a stream restart — the documented
 CDF limitation, inherited.
@@ -63,9 +68,21 @@ def _json_val(v):
     return v
 
 
-def cdf_to_envelope(changes: DataFrame) -> DataFrame:
+def cdf_to_envelope(
+    changes: DataFrame, phys_to_logical: dict[str, str] | None = None
+) -> DataFrame:
     """Re-translate CDF row versions into WAL envelope rows (the
-    inverse of normalize_envelope, module docstring for the split)."""
+    inverse of normalize_envelope, module docstring for the split).
+
+    ``phys_to_logical`` maps the source's stored (physical) column
+    names to its CURRENT logical names: patch set-masks store physical
+    names (rename-stable, era-unique), while the stream's columns are
+    logical — on a renamed table the two diverge. Mask entries resolve
+    to whichever name the batch actually carries (the stream pins its
+    column set at start, so mid-stream renames deliver under the OLD
+    logical name until restart; either key coalesces identically on
+    the target via its rename history)."""
+    phys_to_logical = phys_to_logical or {}
     data_cols = [c for c in changes.columns if c not in _META and c not in ("conv_id", "turn_idx")]
     is_del = F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))
     is_patch = F.col(S.SETMASK_META_COL).isNotNull()
@@ -100,9 +117,12 @@ def cdf_to_envelope(changes: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for _, row in pdf.iterrows():
-                mask = list(row[S.SETMASK_META_COL])
+                cols = [
+                    p if p in pdf.columns else phys_to_logical.get(p, p)
+                    for p in row[S.SETMASK_META_COL]
+                ]
                 payloads.append(
-                    json.dumps({c: _json_val(row[c]) for c in mask})
+                    json.dumps({c: _json_val(row[c]) for c in cols})
                 )
             yield pd.DataFrame(
                 {
@@ -138,15 +158,41 @@ def replicate_stream(
     base_cfg = apply_cfg or ApplyConfig()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        src_cols = source.manifest().columns
+        src_m = source.manifest()
+        src_cols = src_m.columns
+        src_names = {n for n, _ in src_cols}
         have = {n for n, _ in target.manifest().columns}
+        # RENAME-FOLLOW: a source column the replica lacks whose rename
+        # history names a column the replica HAS (and the source no
+        # longer does) is the same field renamed — rename the replica's
+        # column instead of minting a fresh one, so existing replica
+        # data stays under the field and the replica's own rename
+        # history keeps coalescing in-flight payloads still carrying
+        # the former name (a CDF stream pins its column set at start,
+        # so post-rename row versions arrive under the OLD logical name
+        # until the stream restarts — either name lands identically).
+        renames: dict[str, str] = {}
+        taken: set[str] = set()
+        hist = source.rename_history(src_m)
+        for n, _t in src_cols:
+            if n in have:
+                continue
+            for alias in hist.get(n, []):
+                if alias in have and alias not in src_names and alias not in taken:
+                    renames[alias] = n
+                    taken.add(alias)
+                    break
+        if renames:
+            target.rename_columns(renames)
+            have = (have - set(renames)) | set(renames.values())
         missing = {n: t for n, t in src_cols if n not in have}
         if missing:
             target.add_columns(missing)
         import dataclasses
 
         cfg = dataclasses.replace(base_cfg, app_id=app_id)
-        apply_batch(cdf_to_envelope(batch_df), target, batch_id, cfg)
+        inv = {p: l for l, p in source._phys_map(src_m).items()}
+        apply_batch(cdf_to_envelope(batch_df, inv), target, batch_id, cfg)
 
     writer = (
         spark.readStream.format("transcripts_cdf")

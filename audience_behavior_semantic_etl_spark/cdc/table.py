@@ -6,9 +6,12 @@ same *semantics* on plain parquet + a JSON manifest with an atomic
 pointer swap:
 
 - data files:   ``root/data/f-<snapshot>-<n>.parquet`` (immutable)
-- manifests:    ``root/_manifests/v{N}.json`` — schema, bucket -> file
-  list, properties (committed batch ids, per-source-part LSN
-  watermarks), lineage log, parent version
+- manifests:    ``root/_manifests/v{N}.json`` — schema, properties
+  (committed batch ids, per-source-part LSN watermarks), capped
+  lineage log, parent version, and the commit's FILE DELTA vs its
+  parent (Iceberg manifest-file analog) with a periodic inline full
+  rollup (manifest-list analog) — commit metadata is O(batch), not
+  O(live-files); see the notes above ``Manifest``
 - pointer:      ``root/_current`` — the committed version number,
   swapped with ``os.replace`` (atomic on POSIX), written AFTER the
   manifest: a crash between the two leaves an orphan manifest and a
@@ -96,6 +99,45 @@ def _safe_dirname(s: str) -> str:
     return safe
 
 
+# ---------------------------------------------------------------------
+# Manifest storage: per-commit DELTAS + periodic full rollups.
+#
+# Round-4's format serialized the FULL live-file map into every commit's
+# JSON — O(live-files) metadata written per commit and parsed per read,
+# the classic single-manifest ceiling Iceberg splits into manifest
+# files + a manifest list. v{N}.json now stores:
+#
+#   - the commit's own file DELTA vs its parent (``files.added`` /
+#     ``files.removed`` / ``files.stats_added`` / ``files.stats_removed``)
+#     — O(batch), which is what an append costs in data too;
+#   - every ROLLUP_EVERY commits (and on every create / rewrite /
+#     rebucket, whose data cost is O(live) anyway) an inline FULL
+#     snapshot (``files.full``) — the manifest-list rollup that bounds
+#     reconstruction walks to ROLLUP_EVERY hops;
+#   - schema + properties (watermarks, exactly-once ledger, tags, WAP,
+#     physical-name maps) in full — all O(apps + parts + refs), never
+#     O(files); ``file_stats`` is the one O(files) property and is
+#     delta-encoded with the file lists, re-attached on read;
+#   - the lineage audit log, capped at LINEAGE_CAP most-recent rows
+#     (older rows age out of the carried log; the retained commit chain
+#     itself — snapshots_df/history_df — is the full history surface).
+#
+# ``manifest()`` reconstructs the full state by walking parents to the
+# nearest full base and caching the result per (root, version):
+# manifests are write-once and version numbers never reused
+# (_alloc_version), so the cache can never serve stale content.
+# gc_orphans keeps every retained version's base chain alive
+# (_delta_base_chain) so reconstruction can never dangle. The atomic
+# write-manifest-then-swing-pointer commit protocol is unchanged.
+_STATE_CACHE: dict[tuple[str, int], tuple] = {}
+_STATE_CACHE_MAX = 512
+ROLLUP_EVERY = 32
+LINEAGE_CAP = 256
+# the delta contract for commits that touch no data file (DDL, tags,
+# WAP registry): parent file state carries over verbatim
+_META_ONLY: dict = {"added": {}, "stats_added": {}}
+
+
 @dataclass
 class Manifest:
     version: int
@@ -106,6 +148,11 @@ class Manifest:
     buckets: dict[str, list[str]]  # bucket id (str) -> relative file paths
     properties: dict[str, Any] = field(default_factory=dict)
     lineage: list[dict[str, Any]] = field(default_factory=list)
+    # this commit's OWN file delta (populated on read from the stored
+    # delta section; None on legacy full-format manifests, where
+    # consumers fall back to a structural parent diff)
+    files_added: dict[str, list[str]] | None = None
+    files_removed: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -175,11 +222,97 @@ class SnapshotTable:
         travel — Iceberg snapshot-id reads; old data files stay on disk
         until a GC pass, so every committed version remains readable).
         ``ref`` selects which head to resolve when ``version`` is None:
-        "main" (the `_current` pointer) or a named branch."""
+        "main" (the `_current` pointer) or a named branch.
+
+        The returned object carries the RECONSTRUCTED full file state
+        (delta chain folded onto the nearest full base — cached, see
+        module notes) as fresh mutable copies: callers mutate it freely
+        without touching the cache."""
         if version is None:
             version = self._head_version(ref)
+        d = self._manifest_dict(version)
+        buckets, stats, _depth = self._state(version, d)
+        files = d.get("files")
+        if files is None:  # legacy full-format manifest
+            props = dict(d["properties"])
+            added, removed = None, None
+        else:
+            props = dict(d["properties"])
+            if stats:
+                # entry values SHARED with the cache (consumers index
+                # or replace entries, never mutate one in place); the
+                # dict itself is fresh so key-level mutation stays
+                # caller-local
+                props["file_stats"] = dict(stats)
+            added = {b: list(fs) for b, fs in files.get("added", {}).items()}
+            removed = list(files.get("removed", []))
+        return Manifest(
+            version=d["version"],
+            snapshot_id=d["snapshot_id"],
+            parent=d["parent"],
+            columns=[tuple(c) for c in d["columns"]],
+            n_buckets=d["n_buckets"],
+            buckets={b: list(fs) for b, fs in buckets.items()},
+            properties=props,
+            lineage=list(d.get("lineage", [])),
+            files_added=added,
+            files_removed=removed,
+        )
+
+    def _manifest_dict(self, version: int) -> dict:
         with open(os.path.join(self.root, "_manifests", f"v{version}.json")) as f:
-            return Manifest.from_json(f.read())
+            return json.loads(f.read())
+
+    def _state(
+        self, version: int, d: dict | None = None
+    ) -> tuple[dict[str, tuple], dict[str, tuple], int]:
+        """(buckets, file_stats, delta_depth) of a version — the full
+        file state folded from the delta chain, memoized per
+        (root, version). Bucket lists are frozen tuples; stat entries are
+        lists SHARED by convention (replaced, never mutated in place). depth = hops to the nearest full
+        base (0 for full manifests), which bounds both reconstruction
+        and the GC base-chain walk."""
+        key = (self.root, version)
+        hit = _STATE_CACHE.get(key)
+        if hit is not None:
+            return hit
+        if d is None:
+            d = self._manifest_dict(version)
+        files = d.get("files")
+        if files is None:  # legacy format: full buckets inline
+            buckets = {b: tuple(fs) for b, fs in d["buckets"].items()}
+            stats = dict(d["properties"].get("file_stats") or {})
+            depth = 0
+        elif files.get("full") is not None:
+            full = files["full"]
+            buckets = {b: tuple(fs) for b, fs in full["buckets"].items()}
+            stats = dict(full.get("stats", {}))
+            depth = 0
+        else:
+            pbuckets, pstats, pdepth = self._state(d["parent"])
+            removed = set(files.get("removed", []))
+            buckets = dict(pbuckets)
+            if removed:  # defensive: deltas are written append-only
+                buckets = {
+                    b: tuple(f for f in fs if f not in removed)
+                    for b, fs in buckets.items()
+                }
+            for b, rels in files.get("added", {}).items():
+                buckets[b] = buckets.get(b, ()) + tuple(rels)
+            stats_removed = set(files.get("stats_removed", []))
+            stats = {
+                k: v
+                for k, v in pstats.items()
+                if k not in removed and k not in stats_removed
+            }
+            stats.update(files.get("stats_added", {}))
+            depth = pdepth + 1
+        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            # drop an arbitrary half; entries rebuild from disk on demand
+            for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
+                del _STATE_CACHE[k]
+        _STATE_CACHE[key] = (buckets, stats, depth)
+        return _STATE_CACHE[key]
 
     # ------------------------------------------------------------ refs
     #
@@ -260,19 +393,110 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(self.root, "_version_seq"))
         return nxt
 
-    def _write_manifest(self, m: Manifest, ref: str = "main") -> None:
+    def _write_manifest(
+        self, m: Manifest, ref: str = "main", delta: dict | None = None
+    ) -> None:
         """Write-manifest-last atomic commit; advances ``ref``'s head.
         Stamps the commit wall-clock (``committed_at``) — manifests are
         write-once, so the stamp is the commit time, and age-based
-        retention (gc_orphans ``max_age_seconds``) reads it back."""
+        retention (gc_orphans ``max_age_seconds``) reads it back.
+
+        Serializes the commit as a DELTA vs its parent's reconstructed
+        state (O(batch) metadata per append) unless the commit removes
+        files (compaction / purge / rebucket — their data cost is
+        O(live) anyway), is the create commit, or the delta chain hit
+        ROLLUP_EVERY — those write an inline full snapshot that resets
+        the reconstruction walk.
+
+        ``delta`` is the HOT-PATH contract: an append-only caller that
+        knows exactly what it changed passes
+        ``{"added": {bucket: [paths]}, "stats_added": {path: [lo,hi]}}``
+        (both may be empty for metadata-only commits) and the
+        O(live-files) full-state diff is skipped entirely — per-commit
+        metadata work is then O(batch). Callers whose change is not a
+        pure append (rollback, rebucket, compaction, set_property on
+        file_stats) pass None and pay the diff."""
         import time as _time
 
         m.properties["committed_at"] = _time.time()
+        if len(m.lineage) > LINEAGE_CAP:
+            m.lineage = m.lineage[-LINEAGE_CAP:]
+        m_stats = m.properties.get("file_stats") or {}
+        if m.parent is None:
+            pdepth = -1
+        else:
+            pdepth = self._state(m.parent)[2]
+        if delta is not None and m.parent is not None:
+            added = {b: list(fs) for b, fs in delta.get("added", {}).items()}
+            removed: list[str] = []
+            stats_added = {k: list(v) for k, v in delta.get("stats_added", {}).items()}
+            stats_removed: list[str] = []
+        else:
+            pbuckets, pstats, _ = (
+                self._state(m.parent) if m.parent is not None else ({}, {}, -1)
+            )
+            added = {}
+            removed = []
+            for b, fs in m.buckets.items():
+                pf = pbuckets.get(b, ())
+                pfset = set(pf)
+                add = [f for f in fs if f not in pfset]
+                if add or b not in pbuckets:
+                    added[b] = add
+                fsset = set(fs)
+                removed.extend(f for f in pf if f not in fsset)
+            removed.extend(
+                f for b, pf in pbuckets.items() if b not in m.buckets for f in pf
+            )
+            stats_added = {}
+            for k, v in m_stats.items():
+                pv = pstats.get(k)
+                if pv is None or pv[0] != v[0] or pv[1] != v[1]:
+                    stats_added[k] = list(v)
+            stats_removed = [k for k in pstats if k not in m_stats]
+        full = m.parent is None or bool(removed) or pdepth + 1 >= ROLLUP_EVERY
+        d = {
+            "version": m.version,
+            "snapshot_id": m.snapshot_id,
+            "parent": m.parent,
+            "columns": [list(c) for c in m.columns],
+            "n_buckets": m.n_buckets,
+            "properties": {
+                k: v for k, v in m.properties.items() if k != "file_stats"
+            },
+            "lineage": m.lineage,
+            "files": {
+                "added": added,
+                "removed": removed,
+                "stats_added": stats_added,
+                "stats_removed": stats_removed,
+                "full": (
+                    {"buckets": m.buckets, "stats": m_stats} if full else None
+                ),
+            },
+        }
         mpath = os.path.join(self.root, "_manifests", f"v{m.version}.json")
         with open(mpath, "w") as f:
-            f.write(m.to_json())
+            f.write(json.dumps(d))
             f.flush()
             os.fsync(f.fileno())
+        if delta is not None and m.parent is not None and not full:
+            # hot path: derive the cached state from the parent's frozen
+            # state + the delta — unchanged bucket tuples are SHARED
+            # across versions, so caching a commit is O(batch), too
+            pb, ps, _ = self._state(m.parent)
+            nb = dict(pb)
+            for b, fs in added.items():
+                nb[b] = nb.get(b, ()) + tuple(fs)
+            ns = dict(ps)
+            ns.update(stats_added)
+            _STATE_CACHE[(self.root, m.version)] = (nb, ns, pdepth + 1)
+        else:
+            _STATE_CACHE[(self.root, m.version)] = (
+                {b: tuple(fs) for b, fs in m.buckets.items()},
+                {k: list(v) for k, v in m_stats.items()},
+                0 if full else pdepth + 1,
+            )
         self._set_head(ref, m.version)
 
     # ------------------------------------------------------------ schema
@@ -397,7 +621,7 @@ class SnapshotTable:
             m.parent = m.version
             m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
-            self._write_manifest(m, ref=ref)
+            self._write_manifest(m, ref=ref, delta=_META_ONLY)
 
         self._with_commit_lock(run)
 
@@ -443,7 +667,7 @@ class SnapshotTable:
             m.parent = m.version
             m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
-            self._write_manifest(m, ref=ref)
+            self._write_manifest(m, ref=ref, delta=_META_ONLY)
 
         self._with_commit_lock(run)
 
@@ -464,8 +688,15 @@ class SnapshotTable:
             used = set(m.properties.get("used_physical") or []) | set(pm.values())
             phys_names = dict(m.properties.get("physical_names") or {})
             hist = {k: list(v) for k, v in (m.properties.get("rename_history") or {}).items()}
+            # allocate the commit version BEFORE minting fresh physical
+            # names: versions are globally unique across ref chains, so
+            # the __f<N> suffix is table-globally unique by construction
+            # (two refs forked at the same parent re-adding the same
+            # name can never mint the same physical column), and the
+            # suffix always matches the committed version
+            newv = self._alloc_version()
             for n, _t in added:
-                phys = n if n not in used else f"{n}__f{m.version + 1}"
+                phys = n if n not in used else f"{n}__f{newv}"
                 if phys != n:
                     phys_names[n] = phys
                 used.add(phys)
@@ -485,9 +716,9 @@ class SnapshotTable:
             else:
                 m.properties.pop("rename_history", None)
             m.parent = m.version
-            m.version = self._alloc_version()
+            m.version = newv
             m.snapshot_id = uuid.uuid4().hex
-            self._write_manifest(m, ref=ref)
+            self._write_manifest(m, ref=ref, delta=_META_ONLY)
 
         self._with_commit_lock(run)
 
@@ -530,7 +761,7 @@ class SnapshotTable:
             m.parent = m.version
             m.version = self._alloc_version()
             m.snapshot_id = uuid.uuid4().hex
-            self._write_manifest(m, ref=ref)
+            self._write_manifest(m, ref=ref, delta=_META_ONLY)
 
         self._with_commit_lock(run)
 
@@ -806,18 +1037,26 @@ class SnapshotTable:
         v = cur
         while v > from_version:
             man = self.manifest(v)
-            parent = self.manifest(man.parent) if man.parent is not None else None
-            prev_files = (
-                {f for fs in parent.buckets.values() for f in fs} if parent else set()
-            )
-            cur_files = {f for fs in man.buckets.values() for f in fs}
-            if prev_files - cur_files:
+            if man.files_removed is not None:  # delta summary stored
+                added_files: set[str] = {
+                    f for fs in man.files_added.values() for f in fs
+                }
+                removed_files: set[str] = set(man.files_removed)
+            else:  # legacy full-format manifest: structural parent diff
+                parent = self.manifest(man.parent) if man.parent is not None else None
+                prev_files = (
+                    {f for fs in parent.buckets.values() for f in fs} if parent else set()
+                )
+                cur_files = {f for fs in man.buckets.values() for f in fs}
+                added_files = cur_files - prev_files
+                removed_files = prev_files - cur_files
+            if removed_files:
                 raise ValueError(
                     f"incremental window ({from_version}, {cur}] crosses a "
                     f"file-rewriting commit (compaction/purge) at v{v}; "
                     "re-sync with a full read"
                 )
-            new_files.extend(cur_files - prev_files)
+            new_files.extend(added_files)
             if man.parent is None:
                 break
             v = man.parent
@@ -986,7 +1225,10 @@ class SnapshotTable:
                 m.buckets[b] = list(m.buckets.get(b, [])) + rels
             m.properties.setdefault("file_stats", {}).update(stats)
 
-        return self._commit(mutate, app_id, batch_id, watermarks, lineage_row, ref=ref)
+        return self._commit(
+            mutate, app_id, batch_id, watermarks, lineage_row, ref=ref,
+            delta={"added": adopted, "stats_added": stats},
+        )
 
     def commit_merged_buckets(
         self,
@@ -1073,7 +1315,7 @@ class SnapshotTable:
                 {"op": "create_tag", "tag": name, "pinned_version": v,
                  "snapshot_id": m.snapshot_id}
             )
-            self._write_manifest(m)
+            self._write_manifest(m, delta=_META_ONLY)
             return v
 
         return self._with_commit_lock(run)
@@ -1094,7 +1336,7 @@ class SnapshotTable:
             m.lineage.append(
                 {"op": "drop_tag", "tag": name, "snapshot_id": m.snapshot_id}
             )
-            self._write_manifest(m)
+            self._write_manifest(m, delta=_META_ONLY)
 
         self._with_commit_lock(run)
 
@@ -1221,18 +1463,26 @@ class SnapshotTable:
         if src.parent is None:
             raise ValueError("cherry_pick: the create commit cannot be picked")
         par = self.manifest(src.parent)
-        par_files = {f for fs in par.buckets.values() for f in fs}
-        src_files = {f for fs in src.buckets.values() for f in fs}
-        if par_files - src_files:
-            raise ValueError(
-                f"cherry_pick: v{version} is a rewrite commit "
-                "(compaction/purge/rebucket); only append commits can be picked"
-            )
-        added_by_b = {
-            b: [f for f in fs if f not in par_files]
-            for b, fs in src.buckets.items()
-        }
-        added_by_b = {b: rels for b, rels in added_by_b.items() if rels}
+        if src.files_removed is not None:  # delta summary stored
+            if src.files_removed:
+                raise ValueError(
+                    f"cherry_pick: v{version} is a rewrite commit "
+                    "(compaction/purge/rebucket); only append commits can be picked"
+                )
+            added_by_b = {b: list(fs) for b, fs in src.files_added.items() if fs}
+        else:  # legacy full-format manifest: structural parent diff
+            par_files = {f for fs in par.buckets.values() for f in fs}
+            src_files = {f for fs in src.buckets.values() for f in fs}
+            if par_files - src_files:
+                raise ValueError(
+                    f"cherry_pick: v{version} is a rewrite commit "
+                    "(compaction/purge/rebucket); only append commits can be picked"
+                )
+            added_by_b = {
+                b: [f for f in fs if f not in par_files]
+                for b, fs in src.buckets.items()
+            }
+            added_by_b = {b: rels for b, rels in added_by_b.items() if rels}
         src_ledger = src.properties.get("committed_batches", {})
         par_ledger = par.properties.get("committed_batches", {})
         app_delta = {a: b for a, b in src_ledger.items() if par_ledger.get(a) != b}
@@ -1243,7 +1493,7 @@ class SnapshotTable:
             )
         (app_id, batch_id), = app_delta.items()
         if self.is_batch_committed(app_id, int(batch_id), ref=ref):
-            return None  # already on the target chain — no-op
+            return None  # already on the target chain — fast-path no-op
         src_wm = src.properties.get("watermarks", {})
         par_wm = par.properties.get("watermarks", {})
         wm_delta = {p: int(l) for p, l in src_wm.items() if par_wm.get(p) != l}
@@ -1252,8 +1502,41 @@ class SnapshotTable:
             f: v for f, v in (src.properties.get("file_stats") or {}).items()
             if f in added_flat
         }
+        # schema-era facts of the SOURCE commit, compared against the
+        # target head INSIDE the lock: a branch data commit written
+        # after branch-side DDL carries columns / physical-name eras the
+        # target cannot read correctly (an added column silently lost,
+        # or post-drop rows folding as all-NULL bases) — and the commit
+        # would mark the batch committed, so replay could never repair
+        # it. Schema-diverged chains need replay-from-source, not a pick.
+        src_schema = (
+            list(src.columns),
+            src.properties.get("physical_names") or {},
+            sorted(src.properties.get("used_physical") or []),
+        )
+
+        class _Done(Exception):
+            pass
 
         def mutate(m: Manifest) -> None:
+            # re-check idempotence UNDER the commit lock: a concurrent
+            # direct apply of the same (app_id, batch_id) between the
+            # fast-path check above and this commit must no-op here,
+            # not double-land the batch
+            committed = m.properties.get("committed_batches", {})
+            if int(batch_id) <= int(committed.get(app_id, -1)):
+                raise _Done()
+            tgt_schema = (
+                list(m.columns),
+                m.properties.get("physical_names") or {},
+                sorted(m.properties.get("used_physical") or []),
+            )
+            if tgt_schema != src_schema:
+                raise ValueError(
+                    f"cherry_pick: v{version} was written under a different "
+                    f"schema era than {ref!r}'s head (columns/physical-name "
+                    "divergence); replay the batch from source instead"
+                )
             for b, rels in added_by_b.items():
                 have = set(m.buckets.get(b, []))
                 m.buckets[b] = list(m.buckets.get(b, [])) + [
@@ -1262,15 +1545,18 @@ class SnapshotTable:
             if stats:
                 m.properties.setdefault("file_stats", {}).update(stats)
 
-        return self._commit(
-            mutate,
-            app_id,
-            int(batch_id),
-            wm_delta,
-            {"op": "cherry_pick", "source_version": int(version),
-             "batch_id": int(batch_id)},
-            ref=ref,
-        )
+        try:
+            return self._commit(
+                mutate,
+                app_id,
+                int(batch_id),
+                wm_delta,
+                {"op": "cherry_pick", "source_version": int(version),
+                 "batch_id": int(batch_id)},
+                ref=ref,
+            )
+        except _Done:
+            return None  # concurrent apply landed it first — no-op
 
     def rollback(self, version: int | None = None, tag: str | None = None,
                  ref: str = "main") -> int:
@@ -1386,7 +1672,7 @@ class SnapshotTable:
                 {"op": "wap_stage", "wap_id": wap_id, "batch_id": batch_id,
                  "snapshot_id": snapshot, "parent_snapshot": old}
             )
-            self._write_manifest(m)
+            self._write_manifest(m, delta=_META_ONLY)
             return snapshot
 
         return self._with_commit_lock(run)
@@ -1454,7 +1740,7 @@ class SnapshotTable:
             m.lineage.append(
                 {"op": "wap_reject", "wap_id": wap_id, "snapshot_id": m.snapshot_id}
             )
-            self._write_manifest(m)
+            self._write_manifest(m, delta=_META_ONLY)
 
         self._with_commit_lock(run)
 
@@ -1466,22 +1752,26 @@ class SnapshotTable:
         watermarks: dict[str, int],
         lineage_row: dict[str, Any],
         ref: str = "main",
+        delta: dict | None = None,
     ) -> str:
         """Optimistic snapshot commit: the manifest is re-read FRESH
         inside the commit lock and the caller's mutation re-applied to
         it, so concurrent committers (apply vs async compaction) never
-        clobber each other's versions."""
+        clobber each other's versions. ``delta`` is the append-only
+        fast-path contract forwarded to _write_manifest (see there)."""
         snapshot = uuid.uuid4().hex
 
         def run() -> str:
             m = self.manifest(ref=ref)
             mutate(m)
             fs = m.properties.get("file_stats")
-            if fs:
+            if fs and delta is None:
                 # stats live and die with the files they describe; a
                 # rewriting commit (compaction/purge) drops the entries
                 # of the files it removed. Old versions keep their own
                 # copies — time travel prunes with era-correct stats.
+                # Append-only (delta) commits remove nothing, so the
+                # O(live-files) prune is skipped on the hot path.
                 live = {f for fls in m.buckets.values() for f in fls}
                 m.properties["file_stats"] = {k: v for k, v in fs.items() if k in live}
             m.parent = m.version
@@ -1491,11 +1781,15 @@ class SnapshotTable:
             wm = m.properties.setdefault("watermarks", {})
             for part, lsn in watermarks.items():
                 wm[str(part)] = max(int(lsn), int(wm.get(str(part), -1)))
-            m.properties.setdefault("committed_batches", {})[app_id] = batch_id
+            # max, not assignment: a cherry-pick / publish racing a
+            # direct apply must never regress a ledger the apply just
+            # advanced (batch ids are per-app monotone by contract)
+            cb = m.properties.setdefault("committed_batches", {})
+            cb[app_id] = max(int(batch_id), int(cb.get(app_id, -1)))
             m.lineage.append(
                 {**lineage_row, "snapshot_id": snapshot, "parent_snapshot": old_snapshot}
             )
-            self._write_manifest(m, ref=ref)
+            self._write_manifest(m, ref=ref, delta=delta)
             return snapshot
 
         return self._with_commit_lock(run)
@@ -1786,14 +2080,75 @@ class SnapshotTable:
                         v = self.manifest(v).parent
                     except FileNotFoundError:
                         break
+            tag_versions: set[int] = set()
             for hv in [self._head_version("main"), *refs.values()]:
                 head_m = self.manifest(hv)
-                keep_set.update(
+                tag_versions.update(
                     int(t) for t in head_m.properties.get("tags", {}).values()
                 )
                 for w in head_m.properties.get("wap", {}).values():
                     for fs in w.get("buckets", {}).values():
                         referenced.update(fs)
+            keep_set.update(tag_versions)
+            # tagged versions keep not just their own manifest but the
+            # PARENT-LINK PATH from each ref head down to them: rollback
+            # (tag=...), history walks and _is_ancestor all need the
+            # intermediate manifests, and "protected until drop_tag"
+            # must mean reachable, not merely readable (same walk as
+            # branch heads)
+            if tag_versions:
+                for hv in [self._head_version("main"), *refs.values()]:
+                    path: list[int] = []
+                    v = hv
+                    while v is not None:
+                        path.append(v)
+                        try:
+                            v = self.manifest(v).parent
+                        except FileNotFoundError:
+                            break
+                    deepest = max(
+                        (i for i, pv in enumerate(path) if pv in tag_versions),
+                        default=-1,
+                    )
+                    keep_set.update(path[: deepest + 1])
+            # delta-manifest boundary materialization: a kept DELTA
+            # version whose reconstruction parent is about to be dropped
+            # is rewritten IN PLACE as a FULL manifest — same logical
+            # state (the cache stays valid), same version/snapshot_id,
+            # same add/remove summary (CDF semantics preserved); only
+            # the storage encoding changes. This keeps retention
+            # granularity at single versions instead of forcing whole
+            # delta chains to survive until their rollup ages out.
+            # Parents are still on disk here (deletion happens below),
+            # so reconstruction cannot dangle; os.replace keeps the
+            # rewrite atomic for concurrent readers.
+            for kv in sorted(keep_set):
+                try:
+                    d = self._manifest_dict(kv)
+                except FileNotFoundError:
+                    continue
+                files = d.get("files")
+                if files is None or files.get("full") is not None:
+                    continue  # already full (or legacy-full)
+                if d.get("parent") in keep_set:
+                    continue  # chain stays intact through this GC
+                buckets, stats, _ = self._state(kv, d)
+                files["full"] = {
+                    "buckets": {b: list(fs) for b, fs in buckets.items()},
+                    "stats": {k: list(v) for k, v in stats.items()},
+                }
+                mpath = os.path.join(self.root, "_manifests", f"v{kv}.json")
+                tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(json.dumps(d))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, mpath)
+                _STATE_CACHE[(self.root, kv)] = (
+                    {b: tuple(fs) for b, fs in buckets.items()},
+                    {k: list(v) for k, v in stats.items()},
+                    0,
+                )
             for kv in sorted(keep_set):
                 try:
                     m = self.manifest(kv)
@@ -1878,24 +2233,34 @@ class SnapshotTable:
         for v in self._retained_versions():
             m = self.manifest(v)
             files = {f for fs in m.buckets.values() for f in fs}
-            parent_files: set[str] | None = None
-            if m.parent is not None:
-                try:
-                    pm = self.manifest(m.parent)
-                    parent_files = {f for fs in pm.buckets.values() for f in fs}
-                except FileNotFoundError:
-                    parent_files = None  # expired parent: diff unknowable
-            if parent_files is None:
-                added, removed = (len(files), 0) if m.parent is None else (-1, -1)
-                op = "create" if m.parent is None else "unknown"
-            else:
-                added = len(files - parent_files)
-                removed = len(parent_files - files)
+            if m.files_removed is not None:  # stored delta summary
+                added = sum(len(fs) for fs in m.files_added.values())
+                removed = len(m.files_removed)
                 op = (
-                    "metadata" if added == 0 and removed == 0
+                    "create" if m.parent is None
+                    else "metadata" if added == 0 and removed == 0
                     else "append" if removed == 0
                     else "rewrite"
                 )
+            else:  # legacy full-format manifest: structural parent diff
+                parent_files: set[str] | None = None
+                if m.parent is not None:
+                    try:
+                        pm = self.manifest(m.parent)
+                        parent_files = {f for fs in pm.buckets.values() for f in fs}
+                    except FileNotFoundError:
+                        parent_files = None  # expired parent: diff unknowable
+                if parent_files is None:
+                    added, removed = (len(files), 0) if m.parent is None else (-1, -1)
+                    op = "create" if m.parent is None else "unknown"
+                else:
+                    added = len(files - parent_files)
+                    removed = len(parent_files - files)
+                    op = (
+                        "metadata" if added == 0 and removed == 0
+                        else "append" if removed == 0
+                        else "rewrite"
+                    )
             rows.append((v, m.snapshot_id, m.parent, op, m.n_buckets,
                          len(files), added, removed, v == cur))
         return self.spark.createDataFrame(rows, schema)

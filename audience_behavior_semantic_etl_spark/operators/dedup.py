@@ -461,6 +461,8 @@ def connected_components(
     logical plan; checkpointing does. (On a multi-node cluster with
     executor loss concerns, swap localCheckpoint for reliable
     ``checkpoint()`` against the cluster FS — same contract.)"""
+    from pyspark.sql import Observation
+
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -469,12 +471,20 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # the convergence sum rides each round's (eager) localCheckpoint
+    # job as an Observation — ONE job per round moves both the labels
+    # and the scalar; a separate .agg().collect() would re-scan the
+    # checkpointed frame a second time every round. (Safe here: the
+    # observed frame sits above no re-sampling exchange — contrast the
+    # repartitionByRange double-fire gotcha.)
+    obs0 = Observation()
     labels = (
         sym.select("u").distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = obs0.get["s"]
     converged = False
     for _ in range(max_iter):
         nbr = (
@@ -483,6 +493,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("__nbr_min"))
         )
+        obs = Observation()
         labels = (
             labels.join(nbr, "node", "left")
             .select(
@@ -491,9 +502,10 @@ def connected_components(
                     "label"
                 ),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -79,6 +79,26 @@ def main() -> None:
         "cpus": cpus,
     }
     print(json.dumps(out))
+    # The 90-query detail line can outgrow the driver's tail capture
+    # (BENCH_r04 arrived with parsed:null). Persist the detail to a file
+    # and ALWAYS end stdout with a compact one-line summary the driver
+    # can parse regardless of how much tail it keeps.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "last_bench_detail.json"), "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "detail": "BENCH/last_bench_detail.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

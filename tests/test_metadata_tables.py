@@ -76,8 +76,10 @@ def test_snapshots_after_gc_marks_unknown_diff(spark, tmp_path):
     snaps = {r["version"]: r.asDict() for r in t.snapshots_df().collect()}
     vs = sorted(snaps)
     assert len(vs) == 2, "expired manifests drop out of the listing"
-    # the oldest retained version's parent manifest is expired: the
-    # structural diff is unknowable, never guessed
-    assert snaps[vs[0]]["operation"] == "unknown"
-    assert snaps[vs[0]]["files_added"] == -1
+    # delta manifests store the commit's OWN add/remove summary, so the
+    # diff survives parent expiry (pre-delta formats had to report
+    # "unknown" here — the stored summary is strictly better)
+    assert snaps[vs[0]]["operation"] == "append"
+    assert snaps[vs[0]]["files_added"] >= 1
+    assert snaps[vs[0]]["files_removed"] == 0
     assert snaps[vs[1]]["operation"] == "append"
