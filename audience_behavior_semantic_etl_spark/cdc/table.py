@@ -276,37 +276,62 @@ class SnapshotTable:
         hit = _STATE_CACHE.get(key)
         if hit is not None:
             return hit
-        if d is None:
-            d = self._manifest_dict(version)
-        files = d.get("files")
-        if files is None:  # legacy format: full buckets inline
-            buckets = {b: tuple(fs) for b, fs in d["buckets"].items()}
-            stats = dict(d["properties"].get("file_stats") or {})
-            depth = 0
-        elif files.get("full") is not None:
-            full = files["full"]
-            buckets = {b: tuple(fs) for b, fs in full["buckets"].items()}
-            stats = dict(full.get("stats", {}))
-            depth = 0
+        # walk DOWN the delta chain to the nearest cached or full base,
+        # collecting the pending deltas; then fold them upward onto ONE
+        # mutable copy of the base. Only the requested version is
+        # cached — caching every intermediate hop would cost
+        # O(live-files × depth) dict copies per cold read, and cold
+        # reads overwhelmingly target chain heads.
+        chain: list[dict] = []  # pending delta dicts, newest first
+        base: tuple | None = None  # (buckets, stats, depth) to fold onto
+        v: int | None = version
+        dd = d
+        while True:
+            if dd is None:
+                hit = _STATE_CACHE.get((self.root, v))
+                if hit is not None:
+                    base = hit
+                    break
+                dd = self._manifest_dict(v)
+            files = dd.get("files")
+            if files is None:  # legacy format: full buckets inline
+                base = (
+                    {b: tuple(fs) for b, fs in dd["buckets"].items()},
+                    dict(dd["properties"].get("file_stats") or {}),
+                    0,
+                )
+                break
+            if files.get("full") is not None:
+                full = files["full"]
+                base = (
+                    {b: tuple(fs) for b, fs in full["buckets"].items()},
+                    dict(full.get("stats", {})),
+                    0,
+                )
+                break
+            chain.append(files)
+            v = dd["parent"]
+            dd = None
+        pbuckets, pstats, pdepth = base
+        if not chain:
+            buckets, stats, depth = pbuckets, pstats, pdepth
         else:
-            pbuckets, pstats, pdepth = self._state(d["parent"])
-            removed = set(files.get("removed", []))
-            buckets = dict(pbuckets)
-            if removed:  # defensive: deltas are written append-only
-                buckets = {
-                    b: tuple(f for f in fs if f not in removed)
-                    for b, fs in buckets.items()
-                }
-            for b, rels in files.get("added", {}).items():
-                buckets[b] = buckets.get(b, ()) + tuple(rels)
-            stats_removed = set(files.get("stats_removed", []))
-            stats = {
-                k: v
-                for k, v in pstats.items()
-                if k not in removed and k not in stats_removed
-            }
-            stats.update(files.get("stats_added", {}))
-            depth = pdepth + 1
+            buckets = {b: list(fs) for b, fs in pbuckets.items()}
+            stats = dict(pstats)
+            for files in reversed(chain):  # oldest pending first
+                removed = set(files.get("removed", []))
+                if removed:  # defensive: deltas are written append-only
+                    for b in list(buckets):
+                        buckets[b] = [f for f in buckets[b] if f not in removed]
+                    for k in removed:
+                        stats.pop(k, None)
+                for b, rels in files.get("added", {}).items():
+                    buckets.setdefault(b, []).extend(rels)
+                for k in files.get("stats_removed", []):
+                    stats.pop(k, None)
+                stats.update(files.get("stats_added", {}))
+            buckets = {b: tuple(fs) for b, fs in buckets.items()}
+            depth = pdepth + len(chain)
         if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
             # drop an arbitrary half; entries rebuild from disk on demand
             for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
