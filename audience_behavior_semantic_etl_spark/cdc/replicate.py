@@ -69,20 +69,55 @@ def _json_val(v):
 
 
 def cdf_to_envelope(
-    changes: DataFrame, phys_to_logical: dict[str, str] | None = None
+    changes: DataFrame,
+    phys_to_logical: dict[str, str] | None = None,
+    alias_history: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Re-translate CDF row versions into WAL envelope rows (the
     inverse of normalize_envelope, module docstring for the split).
 
     ``phys_to_logical`` maps the source's stored (physical) column
-    names to its CURRENT logical names: patch set-masks store physical
-    names (rename-stable, era-unique), while the stream's columns are
-    logical — on a renamed table the two diverge. Mask entries resolve
-    to whichever name the batch actually carries (the stream pins its
-    column set at start, so mid-stream renames deliver under the OLD
-    logical name until restart; either key coalesces identically on
-    the target via its rename history)."""
+    names to its CURRENT logical names (identity-complete, from
+    ``_phys_map``); ``alias_history`` is the source's rename history
+    ({current logical -> former logical names, oldest first}). Patch
+    set-masks store PHYSICAL names (rename-stable, era-unique), while
+    the stream's columns are logical names pinned at stream start — on
+    a renamed table the two diverge. Each mask entry resolves in era
+    order:
+
+    1. physical -> CURRENT logical name, if the batch carries it. This
+       must come before any batch-column name check: after a rename
+       (text->content) plus a re-add of the old name, the batch's
+       ``text`` column is the NEW field — reading it for a mask entry
+       whose physical name is ``text`` (the field now called
+       ``content``) would silently patch the wrong column.
+    2. else a former alias the batch carries (stream pinned before the
+       rename): case 1 failing proves the pin era predates the rename,
+       so a batch column named by any alias IS this field.
+    3. else the entry is UNRECOVERABLE — the field was dropped before
+       the stream pinned its columns — and is SKIPPED rather than
+       crashing the stream: the source no longer has the column, drops
+       are not propagated, and keying it by a name a re-add may have
+       recycled would resurrect dead data (the non-resurrection rule).
+       A physical name shadowed by a same-named CURRENT column (drop +
+       re-add) is likewise skipped, never read.
+    """
     phys_to_logical = phys_to_logical or {}
+    alias_history = alias_history or {}
+    current_names = set(phys_to_logical.values())
+
+    def _resolve(p: str, batch_cols) -> str | None:
+        cur = phys_to_logical.get(p)
+        if cur is not None:
+            if cur in batch_cols:
+                return cur
+            for a in reversed(alias_history.get(cur, [])):
+                if a in batch_cols:
+                    return a
+            return None
+        if p in batch_cols and p not in current_names:
+            return p  # dropped field, stream pinned pre-drop
+        return None
     data_cols = [c for c in changes.columns if c not in _META and c not in ("conv_id", "turn_idx")]
     is_del = F.coalesce(F.col(S.DELETED_META_COL), F.lit(False))
     is_patch = F.col(S.SETMASK_META_COL).isNotNull()
@@ -115,11 +150,15 @@ def cdf_to_envelope(
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            batch_cols = set(pdf.columns)
             payloads = []
             for _, row in pdf.iterrows():
                 cols = [
-                    p if p in pdf.columns else phys_to_logical.get(p, p)
-                    for p in row[S.SETMASK_META_COL]
+                    c
+                    for c in (
+                        _resolve(p, batch_cols) for p in row[S.SETMASK_META_COL]
+                    )
+                    if c is not None
                 ]
                 payloads.append(
                     json.dumps({c: _json_val(row[c]) for c in cols})
@@ -192,7 +231,9 @@ def replicate_stream(
 
         cfg = dataclasses.replace(base_cfg, app_id=app_id)
         inv = {p: l for l, p in source._phys_map(src_m).items()}
-        apply_batch(cdf_to_envelope(batch_df, inv), target, batch_id, cfg)
+        apply_batch(
+            cdf_to_envelope(batch_df, inv, hist), target, batch_id, cfg
+        )
 
     writer = (
         spark.readStream.format("transcripts_cdf")

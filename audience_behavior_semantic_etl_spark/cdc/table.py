@@ -51,6 +51,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -126,10 +127,13 @@ def _safe_dirname(s: str) -> str:
 # nearest full base and caching the result per (root, version):
 # manifests are write-once and version numbers never reused
 # (_alloc_version), so the cache can never serve stale content.
-# gc_orphans keeps every retained version's base chain alive
-# (_delta_base_chain) so reconstruction can never dangle. The atomic
+# gc_orphans rewrites any KEPT delta manifest whose reconstruction
+# parent is being dropped in place as FULL (same version/snapshot_id/
+# delta summary — see the boundary-materialization block there) so
+# reconstruction can never dangle. The atomic
 # write-manifest-then-swing-pointer commit protocol is unchanged.
 _STATE_CACHE: dict[tuple[str, int], tuple] = {}
+_STATE_CACHE_LOCK = threading.Lock()
 _STATE_CACHE_MAX = 512
 ROLLUP_EVERY = 32
 LINEAGE_CAP = 256
@@ -155,6 +159,10 @@ class Manifest:
     files_removed: list[str] | None = None
 
     def to_json(self) -> str:
+        """LEGACY full-format serialization (every manifest() result is
+        reconstructed-full, so this is lossless). Production writes go
+        through _write_manifest's delta format; this survives for test
+        fixtures that pin the legacy-format read fallback."""
         return json.dumps(
             {
                 "version": self.version,
@@ -166,20 +174,6 @@ class Manifest:
                 "properties": self.properties,
                 "lineage": self.lineage,
             }
-        )
-
-    @staticmethod
-    def from_json(s: str) -> "Manifest":
-        d = json.loads(s)
-        return Manifest(
-            version=d["version"],
-            snapshot_id=d["snapshot_id"],
-            parent=d["parent"],
-            columns=[tuple(c) for c in d["columns"]],
-            n_buckets=d["n_buckets"],
-            buckets=d["buckets"],
-            properties=d["properties"],
-            lineage=d["lineage"],
         )
 
 
@@ -332,12 +326,19 @@ class SnapshotTable:
                 stats.update(files.get("stats_added", {}))
             buckets = {b: tuple(fs) for b, fs in buckets.items()}
             depth = pdepth + len(chain)
-        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
-            # drop an arbitrary half; entries rebuild from disk on demand
-            for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
-                del _STATE_CACHE[k]
-        _STATE_CACHE[key] = (buckets, stats, depth)
-        return _STATE_CACHE[key]
+        val = (buckets, stats, depth)
+        # eviction + insert under a lock: background compaction threads
+        # reconstruct state concurrently with the apply thread, and an
+        # unguarded two-thread eviction double-deletes (KeyError mid
+        # commit). Reads stay lock-free (GIL-atomic dict get; entries
+        # are immutable once inserted).
+        with _STATE_CACHE_LOCK:
+            if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+                # drop an arbitrary half; entries rebuild from disk on demand
+                for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
+                    _STATE_CACHE.pop(k, None)
+            _STATE_CACHE[key] = val
+        return val
 
     # ------------------------------------------------------------ refs
     #
@@ -1437,7 +1438,7 @@ class SnapshotTable:
             if v == ancestor:
                 return True
             try:
-                v = self.manifest(v).parent
+                v = self._manifest_dict(v)["parent"]
             except FileNotFoundError:
                 return False
         return False
@@ -2077,32 +2078,35 @@ class SnapshotTable:
             refs = self._read_refs()
             keep_set: set[int] = set()
             referenced: set[str] = set()
-            # main's window first: branch walks stop when they reach it
+            # main's window first: branch walks stop when they reach
+            # it. All keep-set walks read the raw manifest dict — ONE
+            # small JSON per hop — never self.manifest(v), which folds
+            # the delta chain into full O(live-files) state per call
+            # (and would evict hot heads from the state cache) just to
+            # follow a parent pointer.
             v: int | None = self._head_version("main")
             hops = 0
             while v is not None:
+                try:
+                    d = self._manifest_dict(v)
+                except FileNotFoundError:
+                    break
                 if hops >= keep_versions:
                     if cutoff is None:
                         break
-                    try:
-                        ts = self.manifest(v).properties.get("committed_at")
-                    except FileNotFoundError:
-                        break
+                    ts = d["properties"].get("committed_at")
                     # pre-stamp manifests (no committed_at) count as old
                     if ts is None or float(ts) < cutoff:
                         break
                 keep_set.add(v)
                 hops += 1
-                try:
-                    v = self.manifest(v).parent
-                except FileNotFoundError:
-                    break
+                v = d["parent"]
             for hv in refs.values():
                 v = hv
                 while v is not None and v not in keep_set:
                     keep_set.add(v)
                     try:
-                        v = self.manifest(v).parent
+                        v = self._manifest_dict(v)["parent"]
                     except FileNotFoundError:
                         break
             tag_versions: set[int] = set()
@@ -2128,7 +2132,7 @@ class SnapshotTable:
                     while v is not None:
                         path.append(v)
                         try:
-                            v = self.manifest(v).parent
+                            v = self._manifest_dict(v)["parent"]
                         except FileNotFoundError:
                             break
                     deepest = max(
@@ -2336,11 +2340,11 @@ class SnapshotTable:
         while v is not None:
             ancestry.add(v)
             try:
-                v = self.manifest(v).parent
+                v = self._manifest_dict(v)["parent"]
             except FileNotFoundError:
                 break
         rows = [
-            (v, self.manifest(v).snapshot_id, v in ancestry,
+            (v, self._manifest_dict(v)["snapshot_id"], v in ancestry,
              sorted(tags_by_v.get(v, [])))
             for v in self._retained_versions()
         ]

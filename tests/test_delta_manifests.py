@@ -138,9 +138,13 @@ def test_gc_materializes_boundary_manifest(spark, tmp_path):
     assert oldest["files"]["full"] is not None, "boundary materialized"
     table_mod._STATE_CACHE.clear()
     assert t.manifest(head).buckets == pre_buckets, "state unchanged"
-    assert _mdict(t, head)["files"]["added"] == pre_added or _mdict(t, kept[0])[
-        "files"
-    ]["added"], "delta summary preserved through materialization"
+    assert _mdict(t, head)["files"]["added"] == pre_added, (
+        "head delta summary changed"
+    )
+    assert oldest["files"]["added"], (
+        "materialized boundary lost its add summary (CDF/cherry-pick skip "
+        "logic reads it)"
+    )
     assert t.read_final().count() == 5
 
 

@@ -158,3 +158,74 @@ def test_replica_follows_mid_stream_rename(spark, tmp_path):
     # the replica's own rename history keeps coalescing in-flight
     # payloads that still carry the former name
     assert b.rename_history()["content"] == ["text"]
+
+
+def test_bootstrap_replica_survives_source_column_drop(spark, tmp_path):
+    """A fresh replica bootstraps (startingVersion=0) from a source
+    whose history contains patches on a column that was LATER dropped:
+    the stream pins the CURRENT (post-drop) column set, so the batch
+    cannot carry the masked column. The unrecoverable mask entry must
+    be SKIPPED — not crash the micro-batch with a KeyError that
+    permanently poisons the stream — and the replica converges to the
+    source's current visible state."""
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=2)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    apply_batch(
+        _sparse_env(spark, [
+            (1, "insert", {"role": "user", "text": "A", "tool": "w",
+                           "ts": "2025-01-01T00:00:00"}),
+        ]),
+        a, 0, _cfg("src"),
+    )
+    # patches whose set-masks carry the soon-to-be-dropped column —
+    # including one masking ONLY it (re-translates to an empty payload,
+    # which the apply path must treat as a no-op patch)
+    apply_batch(
+        _sparse_env(spark, [
+            (2, "update_partial", {"tool": "x", "text": "B"}),
+            (3, "update_partial", {"tool": "z"}),
+        ]),
+        a, 1, _cfg("src"),
+    )
+    a.drop_columns(["tool"])
+    q = replicate_stream(a, b, str(tmp_path / "ckpt"), apply_cfg=_cfg("replica"))
+    q.awaitTermination(300)
+    row = b.read_final().collect()[0]
+    src = a.read_final().collect()[0]
+    assert (row["role"], row["text"]) == (src["role"], src["text"]) == ("user", "B")
+    assert "tool" not in {n for n, _ in a.manifest().columns}
+
+
+def test_bootstrap_replica_rename_then_readd_shadow(spark, tmp_path):
+    """Physical-name shadowing: source renames text -> content, then
+    RE-ADDS a fresh 'text' column. An old patch whose set-mask stores
+    physical 'text' (the field now called content) must resolve to the
+    batch's 'content' column — NOT the batch's 'text' column, which is
+    the unrelated re-added field (reading it would silently drop the
+    patch value and write a spurious null into the new column)."""
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=2)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    apply_batch(
+        _sparse_env(spark, [
+            (1, "insert", {"role": "user", "text": "orig",
+                           "ts": "2025-01-01T00:00:00"}),
+        ]),
+        a, 0, _cfg("src"),
+    )
+    # the patch that must survive the shadow: mask physical = 'text'
+    apply_batch(
+        _sparse_env(spark, [(2, "update_partial", {"text": "patched"})]),
+        a, 1, _cfg("src"),
+    )
+    a.rename_columns({"text": "content"})
+    a.add_columns({"text": "string"})  # fresh field, physical text__fN
+    apply_batch(
+        _sparse_env(spark, [(3, "update_partial", {"text": "fresh"})]),
+        a, 2, _cfg("src"),
+    )
+    q = replicate_stream(a, b, str(tmp_path / "ckpt"), apply_cfg=_cfg("replica"))
+    q.awaitTermination(300)
+    row = b.read_final().collect()[0]
+    src = a.read_final().collect()[0]
+    assert (src["content"], src["text"]) == ("patched", "fresh")
+    assert (row["content"], row["text"]) == (src["content"], src["text"])
