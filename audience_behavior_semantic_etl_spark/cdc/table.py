@@ -1584,6 +1584,62 @@ class SnapshotTable:
         except _Done:
             return None  # concurrent apply landed it first — no-op
 
+    def replay_commit(self, version: int, ref: str = "main", apply_cfg=None):
+        """Re-APPLY one append commit's batch onto ``ref`` through the
+        normal apply path — the escape hatch cherry_pick's schema-era
+        guard points at ("replay the batch from source instead").
+        Where cherry_pick copies FILES and therefore requires identical
+        schema eras, replay re-derives the commit's row versions under
+        the SOURCE commit's own era (``read_changes`` aliases
+        physical -> that era's logical names at the scan),
+        re-translates them to WAL envelopes (``cdf_to_envelope``, the
+        replication kernel), and lands them through ``apply_batch``
+        under the TARGET era — the normalizer's rename-history
+        coalescing and column-set projection absorb the divergence:
+        a column the target also has (under any name in its rename
+        history) lands there; a column the target lacks folds away.
+
+        Exactly-once is preserved verbatim: the source commit's
+        (app_id, batch_id) ledger delta is replayed as-is, so a batch
+        the target already holds no-ops (``BatchMetrics.skipped``) and
+        re-delivery converges. Rewrite commits are refused by
+        ``read_changes`` (their row set is relative to a base the
+        target may not share); DDL/metadata commits carry no batch and
+        are refused here. Returns the apply's ``BatchMetrics``."""
+        import dataclasses
+
+        from audience_behavior_semantic_etl_spark.cdc.apply import (
+            ApplyConfig,
+            apply_batch,
+        )
+        from audience_behavior_semantic_etl_spark.cdc.replicate import (
+            cdf_to_envelope,
+        )
+
+        src = self.manifest(version)
+        if src.parent is None:
+            raise ValueError("replay_commit: the create commit cannot be replayed")
+        par = self.manifest(src.parent)
+        src_ledger = src.properties.get("committed_batches", {})
+        par_ledger = par.properties.get("committed_batches", {})
+        app_delta = {a: b for a, b in src_ledger.items() if par_ledger.get(a) != b}
+        if len(app_delta) != 1:
+            raise ValueError(
+                f"replay_commit: v{version} is not a single-batch apply commit "
+                f"(ledger delta: {app_delta})"
+            )
+        (app_id, batch_id), = app_delta.items()
+        rows = self.read_changes(src.parent, version)
+        env = cdf_to_envelope(
+            rows,
+            {p: l for l, p in self._phys_map(src).items()},
+            self.rename_history(src),
+        )
+        cfg = dataclasses.replace(
+            apply_cfg or ApplyConfig(), app_id=app_id, branch=ref
+        )
+        return apply_batch(env, self, int(batch_id), cfg)
+
     def rollback(self, version: int | None = None, tag: str | None = None,
                  ref: str = "main") -> int:
         """Roll ``ref`` back to an OLDER version of its own chain (the

@@ -205,3 +205,124 @@ def test_add_columns_fresh_physical_suffix_matches_committed_version(spark, tmp_
     m = t.manifest()
     phys = m.properties["physical_names"]["model"]
     assert phys == f"model__f{m.version}", (phys, m.version)
+
+
+def test_state_cache_eviction_thread_safe(spark, tmp_path, monkeypatch):
+    """Concurrent reconstruction under a tiny cache ceiling: background
+    compaction threads race the apply thread through _state() in
+    production, and an unguarded eviction double-deletes (KeyError mid
+    commit). Hammer manifest() from many threads across more versions
+    than the cache holds; every read must return the right state and
+    no thread may die."""
+    import threading
+
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(12):
+        apply_batch(
+            _env(spark, [(i + 1, "insert", i, f"x{i}")]), t, batch_id=i,
+            cfg=ApplyConfig(auto_compact=False),
+        )
+    versions = t._retained_versions()
+    expected = {v: t.manifest(v).buckets for v in versions}
+    monkeypatch.setattr(table_mod, "_STATE_CACHE_MAX", 4)
+    table_mod._STATE_CACHE.clear()
+    errors: list[BaseException] = []
+
+    def worker(seed: int) -> None:
+        try:
+            for k in range(60):
+                v = versions[(seed + k) % len(versions)]
+                assert t.manifest(v).buckets == expected[v]
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+
+def _env_model(spark, rows, conv="conv-d"):
+    """_env plus a 'model' payload field (branch-era added column)."""
+    pdf = pd.DataFrame(
+        [
+            {
+                "lsn": lsn,
+                "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "conv_id": conv,
+                "turn_idx": turn,
+                "payload": json.dumps(
+                    {"role": "user", "text": text, "model": model}
+                ),
+                "schema_ver": 1,
+                "source_part": 0,
+            }
+            for lsn, op, turn, text, model in rows
+        ]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+
+def test_replay_commit_lands_schema_diverged_batch(spark, tmp_path):
+    """The escape hatch the cherry_pick schema-era guard points at:
+    replay_commit re-derives a branch commit's rows under the BRANCH
+    era and re-applies them through the normal apply path under the
+    TARGET era — a column the target lacks folds away, a column it has
+    receives the value, and the replayed (app_id, batch_id) rides the
+    exactly-once ledger so re-delivery no-ops."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_env(spark, [(1, "insert", 0, "base")]), t, batch_id=0)
+    t.create_branch("ddl")
+    t.add_columns({"model": "string"}, ref="ddl")
+    apply_batch(
+        _env_model(spark, [(2, "insert", 1, "after-ddl", "m-1")]), t, batch_id=0,
+        cfg=ApplyConfig(app_id="br", branch="ddl", auto_compact=False),
+    )
+    v1 = t.manifest(ref="ddl").version
+    with pytest.raises(ValueError, match="schema era"):
+        t.cherry_pick(v1)
+    # replay instead: main lacks 'model', so the value folds away but
+    # the row lands under main's schema
+    m1 = t.replay_commit(v1)
+    assert not m1.skipped
+    pdf = t.read_final().toPandas().sort_values("turn_idx")
+    assert list(pdf["text"]) == ["base", "after-ddl"]
+    assert "model" not in pdf.columns
+    # exactly-once: the replayed batch is on main's ledger now
+    assert t.is_batch_committed("br", 0)
+    assert t.replay_commit(v1).skipped
+    # target gains the column -> a later branch batch replays WITH it
+    t.add_columns({"model": "string"})
+    apply_batch(
+        _env_model(spark, [(3, "insert", 2, "third", "m-2")]), t, batch_id=1,
+        cfg=ApplyConfig(app_id="br", branch="ddl", auto_compact=False),
+    )
+    v2 = t.manifest(ref="ddl").version
+    assert not t.replay_commit(v2).skipped
+    pdf = t.read_final().toPandas().sort_values("turn_idx")
+    assert list(pdf["text"]) == ["base", "after-ddl", "third"]
+    assert list(pdf["model"].fillna("-")) == ["-", "-", "m-2"]
+
+
+def test_replay_commit_refuses_ddl_and_rewrite_commits(spark, tmp_path):
+    """A metadata-only commit carries no batch (refused here); a
+    rewrite commit's row set is relative to a base the target may not
+    share (refused by read_changes)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_env(spark, [(1, "insert", 0, "x")]), t, batch_id=0,
+                cfg=ApplyConfig(auto_compact=False))
+    t.create_branch("b")
+    t.add_columns({"model": "string"}, ref="b")
+    ddl_v = t.manifest(ref="b").version
+    with pytest.raises(ValueError, match="single-batch"):
+        t.replay_commit(ddl_v)
+    apply_batch(_env(spark, [(2, "insert", 1, "y")]), t, batch_id=1,
+                cfg=ApplyConfig(auto_compact=False))
+    t.compact_buckets(list(range(2)))
+    rewrite_v = t.manifest().version
+    with pytest.raises(ValueError, match="rewrit|single-batch"):
+        t.replay_commit(rewrite_v)
