@@ -33,9 +33,11 @@ synced to the source manifest — ADDs replicate via ``add_columns``,
 RENAMEs are followed via the source's rename history (the replica
 renames its own column rather than minting a fresh one, so replica
 data stays under the field and either payload key keeps landing —
-see ``_apply``); both are metadata-only commits. DROPs are NOT
-propagated (the replica keeps the column; payloads simply stop
-setting it — the conservative replication default). The STREAM's own
+see ``_apply``), and safe type WIDENINGS (int->long, float->double)
+replicate via ``widen_columns`` so post-widen values can't overflow
+the replica's narrower type into null; all are metadata-only commits.
+DROPs are NOT propagated (the replica keeps the column; payloads
+simply stop setting it — the conservative replication default). The STREAM's own
 column set is pinned at start (standard source contract), so values
 for newly added columns flow after a stream restart — the documented
 CDF limitation, inherited.
@@ -227,6 +229,22 @@ def replicate_stream(
         missing = {n: t for n, t in src_cols if n not in have}
         if missing:
             target.add_columns(missing)
+        # TYPE-WIDENING follow: a source column promoted int->long /
+        # float->double must widen on the replica BEFORE the batch
+        # lands — the normalizer casts payloads to the replica's column
+        # type, and a post-widen value outside the narrower range would
+        # otherwise cast to null (silent loss). Only the safe
+        # metadata-only promotions replicate; anything else raises in
+        # widen_columns (correctly — the source did something this
+        # engine's own DDL surface cannot have done).
+        tgt_types = dict(target.manifest().columns)
+        widen = {
+            n: t_src
+            for n, t_src in src_cols
+            if (tgt_types.get(n), t_src) in SnapshotTable.SAFE_WIDENINGS
+        }
+        if widen:
+            target.widen_columns(widen)
         import dataclasses
 
         cfg = dataclasses.replace(base_cfg, app_id=app_id)

@@ -229,3 +229,37 @@ def test_bootstrap_replica_rename_then_readd_shadow(spark, tmp_path):
     src = a.read_final().collect()[0]
     assert (src["content"], src["text"]) == ("patched", "fresh")
     assert (row["content"], row["text"]) == (src["content"], src["text"])
+
+
+def test_replica_follows_type_widening(spark, tmp_path):
+    """A source column promoted int -> long between drains widens on
+    the replica BEFORE the post-widen batch lands: a value outside
+    int32 range must arrive intact, not cast to null against the
+    replica's stale narrower type."""
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=2)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    ckpt = str(tmp_path / "ckpt")
+    a.add_columns({"tool_latency_ms": "int"})
+    apply_batch(
+        _sparse_env(spark, [
+            (1, "insert", {"role": "user", "text": "A", "tool_latency_ms": 7,
+                           "ts": "2025-01-01T00:00:00"}),
+        ]),
+        a, 0, _cfg("src"),
+    )
+    replicate_stream(a, b, ckpt, apply_cfg=_cfg("replica")).awaitTermination(300)
+    assert dict(b.manifest().columns)["tool_latency_ms"] == "int"
+
+    a.widen_columns({"tool_latency_ms": "long"})
+    big = 2**31 + 12345  # overflows int32
+    apply_batch(
+        _sparse_env(spark, [
+            (2, "update_partial", {"tool_latency_ms": big}),
+        ]),
+        a, 1, _cfg("src"),
+    )
+    replicate_stream(a, b, ckpt, apply_cfg=_cfg("replica")).awaitTermination(300)
+    assert dict(b.manifest().columns)["tool_latency_ms"] == "long"
+    row = b.read_final().collect()[0]
+    src = a.read_final().collect()[0]
+    assert row["tool_latency_ms"] == src["tool_latency_ms"] == big
