@@ -37,7 +37,12 @@ see ``_apply``), and safe type WIDENINGS (int->long, float->double)
 replicate via ``widen_columns`` so post-widen values can't overflow
 the replica's narrower type into null; all are metadata-only commits.
 DROPs are NOT propagated (the replica keeps the column; payloads
-simply stop setting it — the conservative replication default). The STREAM's own
+simply stop setting it — the conservative replication default), with
+ONE exception: when the source drops a column and later RE-ADDS the
+same name, the replica's kept column is a retired field the new
+traffic must not land in — per-column source-physical-name tracking
+(``replica_src_physical``) detects the generation change and the
+replica drops + re-adds the column too (see ``_apply``). The STREAM's own
 column set is pinned at start (standard source contract), so values
 for newly added columns flow after a stream restart — the documented
 CDF limitation, inherited.
@@ -103,21 +108,45 @@ def cdf_to_envelope(
        recycled would resurrect dead data (the non-resurrection rule).
        A physical name shadowed by a same-named CURRENT column (drop +
        re-add) is likewise skipped, never read.
+
+    In cases 1 and 3 a name that is ALSO a former alias of another
+    current column is only trusted when that other column is in the
+    batch too: a batch carrying the alias but not its current owner
+    was pinned BEFORE the rename that freed the name, so its column
+    holds the OWNER's field — reading it would patch the wrong field's
+    value; the entry is skipped (fail-safe) instead.
+
+    Known limitation: a column RENAMED and then DROPPED loses its
+    alias trail with the drop (``drop_columns`` discards the rename
+    history), so patches on it replicate only from streams pinned
+    under the original (physical) name; streams pinned under an
+    intermediate alias skip them.
     """
     phys_to_logical = phys_to_logical or {}
     alias_history = alias_history or {}
     current_names = set(phys_to_logical.values())
+    alias_owner = {
+        a: owner for owner, alist in alias_history.items() for a in alist
+    }
+
+    def _trusted(name: str, batch_cols) -> bool:
+        owner = alias_owner.get(name)
+        return owner is None or owner in batch_cols
 
     def _resolve(p: str, batch_cols) -> str | None:
         cur = phys_to_logical.get(p)
         if cur is not None:
             if cur in batch_cols:
-                return cur
+                return cur if _trusted(cur, batch_cols) else None
             for a in reversed(alias_history.get(cur, [])):
                 if a in batch_cols:
                     return a
             return None
-        if p in batch_cols and p not in current_names:
+        if (
+            p in batch_cols
+            and p not in current_names
+            and _trusted(p, batch_cols)
+        ):
             return p  # dropped field, stream pinned pre-drop
         return None
     data_cols = [c for c in changes.columns if c not in _META and c not in ("conv_id", "turn_idx")]
@@ -202,7 +231,39 @@ def replicate_stream(
         src_m = source.manifest()
         src_cols = src_m.columns
         src_names = {n for n, _ in src_cols}
-        have = {n for n, _ in target.manifest().columns}
+        src_pm = source._phys_map(src_m)
+        tgt_m = target.manifest()
+        have = {n for n, _ in tgt_m.columns}
+        hist = source.rename_history(src_m)
+        # FIELD-GENERATION tracking: the replica records, per column,
+        # the SOURCE physical name it is following
+        # (``replica_src_physical``). Physical names are era-unique on
+        # the source, so a change in a shared column's source physical
+        # means the source RETIRED the field behind the name and minted
+        # a fresh one (drop + re-add, possibly with a different type) —
+        # keeping the replica's old column would poison every
+        # subsequent payload (values of the NEW field parsed against
+        # the OLD field's type) or resurrect dead data. This is the one
+        # case where a source DROP propagates: the replica drops its
+        # retired column, and the re-add below re-creates the name as a
+        # fresh field (the replica's own suffix rule keeps its old file
+        # data unreadable — non-resurrection holds on both sides).
+        marker = dict(
+            tgt_m.properties.get("replica_src_physical") or {}
+        )
+        marker0 = dict(marker)
+        recycled = [
+            n
+            for n, _t in src_cols
+            if n in have
+            and marker.get(n) is not None
+            and marker[n] != src_pm[n]
+        ]
+        if recycled:
+            target.drop_columns(recycled)
+            have -= set(recycled)
+            for n in recycled:
+                marker.pop(n, None)
         # RENAME-FOLLOW: a source column the replica lacks whose rename
         # history names a column the replica HAS (and the source no
         # longer does) is the same field renamed — rename the replica's
@@ -214,7 +275,6 @@ def replicate_stream(
         # until the stream restarts — either name lands identically).
         renames: dict[str, str] = {}
         taken: set[str] = set()
-        hist = source.rename_history(src_m)
         for n, _t in src_cols:
             if n in have:
                 continue
@@ -226,17 +286,24 @@ def replicate_stream(
         if renames:
             target.rename_columns(renames)
             have = (have - set(renames)) | set(renames.values())
+            for old, new in renames.items():
+                moved = marker.pop(old, None)
+                marker[new] = moved if moved is not None else src_pm[new]
         missing = {n: t for n, t in src_cols if n not in have}
         if missing:
             target.add_columns(missing)
+        # adopt/refresh the generation marker for every shared column
+        for n, _t in src_cols:
+            marker.setdefault(n, src_pm[n])
         # TYPE-WIDENING follow: a source column promoted int->long /
         # float->double must widen on the replica BEFORE the batch
         # lands — the normalizer casts payloads to the replica's column
         # type, and a post-widen value outside the narrower range would
         # otherwise cast to null (silent loss). Only the safe
-        # metadata-only promotions replicate; anything else raises in
-        # widen_columns (correctly — the source did something this
-        # engine's own DDL surface cannot have done).
+        # metadata-only promotions replicate (a non-widening source
+        # type change can only come from drop + re-add, which the
+        # generation tracking above converts to a replica-side drop +
+        # re-add with the source's current type).
         tgt_types = dict(target.manifest().columns)
         widen = {
             n: t_src
@@ -245,6 +312,8 @@ def replicate_stream(
         }
         if widen:
             target.widen_columns(widen)
+        if marker != marker0:
+            target.set_property("replica_src_physical", marker)
         import dataclasses
 
         cfg = dataclasses.replace(base_cfg, app_id=app_id)

@@ -135,6 +135,23 @@ def _safe_dirname(s: str) -> str:
 _STATE_CACHE: dict[tuple[str, int], tuple] = {}
 _STATE_CACHE_LOCK = threading.Lock()
 _STATE_CACHE_MAX = 512
+
+
+def _cache_put(key: tuple[str, int], val: tuple) -> None:
+    """EVERY state-cache insert goes through here: eviction + insert
+    under one lock. Background compaction threads reconstruct state
+    concurrently with the apply thread, and an unguarded two-thread
+    eviction double-deletes (KeyError mid commit); insert sites that
+    skipped eviction accounting (_write_manifest primes the cache once
+    per commit) would grow the dict without bound over a soak-scale
+    run's thousands of commits. Reads stay lock-free (GIL-atomic dict
+    get; entries are immutable once inserted)."""
+    with _STATE_CACHE_LOCK:
+        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            # drop an arbitrary half; entries rebuild from disk on demand
+            for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
+                _STATE_CACHE.pop(k, None)
+        _STATE_CACHE[key] = val
 ROLLUP_EVERY = 32
 LINEAGE_CAP = 256
 # the delta contract for commits that touch no data file (DDL, tags,
@@ -327,17 +344,7 @@ class SnapshotTable:
             buckets = {b: tuple(fs) for b, fs in buckets.items()}
             depth = pdepth + len(chain)
         val = (buckets, stats, depth)
-        # eviction + insert under a lock: background compaction threads
-        # reconstruct state concurrently with the apply thread, and an
-        # unguarded two-thread eviction double-deletes (KeyError mid
-        # commit). Reads stay lock-free (GIL-atomic dict get; entries
-        # are immutable once inserted).
-        with _STATE_CACHE_LOCK:
-            if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
-                # drop an arbitrary half; entries rebuild from disk on demand
-                for k in list(_STATE_CACHE)[: _STATE_CACHE_MAX // 2]:
-                    _STATE_CACHE.pop(k, None)
-            _STATE_CACHE[key] = val
+        _cache_put(key, val)
         return val
 
     # ------------------------------------------------------------ refs
@@ -516,12 +523,15 @@ class SnapshotTable:
                 nb[b] = nb.get(b, ()) + tuple(fs)
             ns = dict(ps)
             ns.update(stats_added)
-            _STATE_CACHE[(self.root, m.version)] = (nb, ns, pdepth + 1)
+            _cache_put((self.root, m.version), (nb, ns, pdepth + 1))
         else:
-            _STATE_CACHE[(self.root, m.version)] = (
-                {b: tuple(fs) for b, fs in m.buckets.items()},
-                {k: list(v) for k, v in m_stats.items()},
-                0 if full else pdepth + 1,
+            _cache_put(
+                (self.root, m.version),
+                (
+                    {b: tuple(fs) for b, fs in m.buckets.items()},
+                    {k: list(v) for k, v in m_stats.items()},
+                    0 if full else pdepth + 1,
+                ),
             )
         self._set_head(ref, m.version)
 
@@ -1470,6 +1480,25 @@ class SnapshotTable:
 
         return self._with_commit_lock(run)
 
+    @staticmethod
+    def _single_batch_delta(
+        op: str, version: int, src: Manifest, par: Manifest
+    ) -> tuple[str, int]:
+        """The (app_id, batch_id) a commit added to the exactly-once
+        ledger vs its parent — cherry_pick/replay_commit only handle
+        commits that landed exactly one batch (DDL and maintenance
+        commits add none; merged/multi-app commits are ambiguous)."""
+        src_ledger = src.properties.get("committed_batches", {})
+        par_ledger = par.properties.get("committed_batches", {})
+        app_delta = {a: b for a, b in src_ledger.items() if par_ledger.get(a) != b}
+        if len(app_delta) != 1:
+            raise ValueError(
+                f"{op}: v{version} is not a single-batch apply commit "
+                f"(ledger delta: {app_delta})"
+            )
+        ((app_id, batch_id),) = app_delta.items()
+        return app_id, int(batch_id)
+
     def cherry_pick(self, version: int, ref: str = "main") -> str | None:
         """Re-apply ONE append-only commit (usually a branch commit)
         onto ``ref``'s head as a new commit — the Iceberg
@@ -1509,15 +1538,7 @@ class SnapshotTable:
                 for b, fs in src.buckets.items()
             }
             added_by_b = {b: rels for b, rels in added_by_b.items() if rels}
-        src_ledger = src.properties.get("committed_batches", {})
-        par_ledger = par.properties.get("committed_batches", {})
-        app_delta = {a: b for a, b in src_ledger.items() if par_ledger.get(a) != b}
-        if len(app_delta) != 1:
-            raise ValueError(
-                f"cherry_pick: v{version} is not a single-batch apply commit "
-                f"(ledger delta: {app_delta})"
-            )
-        (app_id, batch_id), = app_delta.items()
+        app_id, batch_id = self._single_batch_delta("cherry_pick", version, src, par)
         if self.is_batch_committed(app_id, int(batch_id), ref=ref):
             return None  # already on the target chain — fast-path no-op
         src_wm = src.properties.get("watermarks", {})
@@ -1599,13 +1620,26 @@ class SnapshotTable:
         a column the target also has (under any name in its rename
         history) lands there; a column the target lacks folds away.
 
+        Columns are matched across eras by PHYSICAL identity: a field
+        the two refs call different names (the branch renamed it, the
+        target didn't — or vice versa) is re-keyed to the TARGET's
+        current logical name before the envelope is built, so its
+        values land instead of folding away as an unknown payload key.
+        A translation that would collide two batch columns onto one
+        name (the target recycled a name the source era still uses) is
+        refused — those chains need a full resync, not a replay.
+
         Exactly-once is preserved verbatim: the source commit's
-        (app_id, batch_id) ledger delta is replayed as-is, so a batch
-        the target already holds no-ops (``BatchMetrics.skipped``) and
-        re-delivery converges. Rewrite commits are refused by
-        ``read_changes`` (their row set is relative to a base the
-        target may not share); DDL/metadata commits carry no batch and
-        are refused here. Returns the apply's ``BatchMetrics``."""
+        (app_id, batch_id) ledger delta is replayed as-is, so
+        re-delivery of the ledger's CURRENT batch no-ops
+        (``BatchMetrics.skipped``). A batch OLDER than the target
+        ledger's high-water mark is refused rather than silently
+        skipped: the ledger cannot distinguish "landed earlier" from
+        "never landed", so replay a diverged chain's commits
+        oldest-first. Rewrite commits are refused by ``read_changes``
+        (their row set is relative to a base the target may not
+        share); DDL/metadata commits carry no batch and are refused
+        here. Returns the apply's ``BatchMetrics``."""
         import dataclasses
 
         from audience_behavior_semantic_etl_spark.cdc.apply import (
@@ -1620,20 +1654,41 @@ class SnapshotTable:
         if src.parent is None:
             raise ValueError("replay_commit: the create commit cannot be replayed")
         par = self.manifest(src.parent)
-        src_ledger = src.properties.get("committed_batches", {})
-        par_ledger = par.properties.get("committed_batches", {})
-        app_delta = {a: b for a, b in src_ledger.items() if par_ledger.get(a) != b}
-        if len(app_delta) != 1:
+        app_id, batch_id = self._single_batch_delta(
+            "replay_commit", version, src, par
+        )
+        tgt = self.manifest(ref=ref)
+        committed = int(tgt.properties.get("committed_batches", {}).get(app_id, -1))
+        if batch_id < committed:
             raise ValueError(
-                f"replay_commit: v{version} is not a single-batch apply commit "
-                f"(ledger delta: {app_delta})"
+                f"replay_commit: {app_id} batch {batch_id} is older than "
+                f"{ref!r}'s ledger high-water mark {committed}; the ledger "
+                "cannot tell whether it ever landed — replay commits "
+                "oldest-first"
             )
-        (app_id, batch_id), = app_delta.items()
+        src_pm = self._phys_map(src)
+        tgt_inv = {p: l for l, p in self._phys_map(tgt).items()}
+        ren = {
+            l: tgt_inv[p]
+            for l, p in src_pm.items()
+            if p in tgt_inv and tgt_inv[p] != l
+        }
         rows = self.read_changes(src.parent, version)
+        if ren:
+            final = [ren.get(c, c) for c in rows.columns]
+            if len(set(final)) != len(final):
+                raise ValueError(
+                    f"replay_commit: physical-identity translation {ren} "
+                    "collides with another source-era column; the chains "
+                    "need a full resync, not a replay"
+                )
+            rows = rows.select(
+                *[F.col(c).alias(ren.get(c, c)) for c in rows.columns]
+            )
         env = cdf_to_envelope(
             rows,
-            {p: l for l, p in self._phys_map(src).items()},
-            self.rename_history(src),
+            {p: ren.get(l, l) for l, p in src_pm.items()},
+            {ren.get(l, l): v for l, v in self.rename_history(src).items()},
         )
         cfg = dataclasses.replace(
             apply_cfg or ApplyConfig(), app_id=app_id, branch=ref
@@ -2229,10 +2284,13 @@ class SnapshotTable:
                     f.flush()
                     os.fsync(f.fileno())
                 os.replace(tmp, mpath)
-                _STATE_CACHE[(self.root, kv)] = (
-                    {b: tuple(fs) for b, fs in buckets.items()},
-                    {k: list(v) for k, v in stats.items()},
-                    0,
+                _cache_put(
+                    (self.root, kv),
+                    (
+                        {b: tuple(fs) for b, fs in buckets.items()},
+                        {k: list(v) for k, v in stats.items()},
+                        0,
+                    ),
                 )
             for kv in sorted(keep_set):
                 try:

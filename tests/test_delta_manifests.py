@@ -326,3 +326,49 @@ def test_replay_commit_refuses_ddl_and_rewrite_commits(spark, tmp_path):
     rewrite_v = t.manifest().version
     with pytest.raises(ValueError, match="rewrit|single-batch"):
         t.replay_commit(rewrite_v)
+
+
+def test_replay_commit_translates_branch_renamed_columns(spark, tmp_path):
+    """A branch that RENAMED a column (text -> content) and then wrote
+    a batch replays onto a main that never renamed: the field is
+    matched by PHYSICAL identity and re-keyed to main's name, so the
+    value lands in main's 'text' instead of folding away as an unknown
+    payload key (which the ledger commit would have made permanent)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_env(spark, [(1, "insert", 0, "base")]), t, batch_id=0)
+    t.create_branch("ren")
+    t.rename_columns({"text": "content"}, ref="ren")
+    apply_batch(
+        _env(spark, [(2, "insert", 1, "branch-payload")]), t, batch_id=0,
+        cfg=ApplyConfig(app_id="br", branch="ren", auto_compact=False),
+    )
+    # the branch's envelope carried key 'text' (coalesced into content
+    # via the branch's rename history); its stored physical is 'text'
+    v = t.manifest(ref="ren").version
+    assert not t.replay_commit(v).skipped
+    pdf = t.read_final().toPandas().sort_values("turn_idx")
+    assert list(pdf["text"]) == ["base", "branch-payload"]
+
+
+def test_replay_commit_refuses_out_of_order_batches(spark, tmp_path):
+    """The exactly-once ledger is a high-water mark: replaying an
+    OLDER batch after a newer one cannot be verified to have landed,
+    so it is refused instead of silently skipped."""
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    apply_batch(_env(spark, [(1, "insert", 0, "base")]), t, batch_id=0)
+    t.create_branch("b")
+    apply_batch(
+        _env(spark, [(2, "insert", 1, "first")]), t, batch_id=0,
+        cfg=ApplyConfig(app_id="br", branch="b", auto_compact=False),
+    )
+    v0 = t.manifest(ref="b").version
+    apply_batch(
+        _env(spark, [(3, "insert", 2, "second")]), t, batch_id=1,
+        cfg=ApplyConfig(app_id="br", branch="b", auto_compact=False),
+    )
+    v1 = t.manifest(ref="b").version
+    assert not t.replay_commit(v1).skipped  # newest first: ledger br=1
+    with pytest.raises(ValueError, match="older than"):
+        t.replay_commit(v0)
+    # replaying the ledger's CURRENT batch stays an idempotent no-op
+    assert t.replay_commit(v1).skipped

@@ -263,3 +263,100 @@ def test_replica_follows_type_widening(spark, tmp_path):
     row = b.read_final().collect()[0]
     src = a.read_final().collect()[0]
     assert row["tool_latency_ms"] == src["tool_latency_ms"] == big
+
+
+def test_replica_follows_recycled_column_name(spark, tmp_path):
+    """The ONE case where a source drop propagates: the source drops a
+    column and re-adds the same name (a fresh field, possibly a new
+    type). Field-generation tracking must drop + re-add the replica's
+    column too — keeping it would resurrect retired data under the new
+    field's name and parse new-field values against the old type."""
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=2)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _env2(rows):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "lsn": lsn,
+                    "ts": pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=lsn),
+                    "op": op,
+                    "conv_id": conv,
+                    "turn_idx": 0,
+                    "payload": json.dumps(payload),
+                    "schema_ver": 1,
+                    "source_part": 0,
+                }
+                for lsn, op, conv, payload in rows
+            ]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return spark.createDataFrame(pdf, schema=ENVELOPE_SCHEMA)
+
+    apply_batch(
+        _env2([
+            (1, "insert", "cA", {"role": "user", "text": "A", "tool": "old-a"}),
+            (2, "insert", "cB", {"role": "user", "text": "B", "tool": "old-b"}),
+        ]),
+        a, 0, _cfg("src"),
+    )
+    replicate_stream(a, b, ckpt, apply_cfg=_cfg("replica")).awaitTermination(300)
+    got = {r["conv_id"]: r["tool"] for r in b.read_final().collect()}
+    assert got == {"cA": "old-a", "cB": "old-b"}
+
+    a.drop_columns(["tool"])
+    a.add_columns({"tool": "string"})  # fresh field, same name
+    apply_batch(
+        _env2([(3, "update_partial", "cA", {"tool": "new-a"})]),
+        a, 1, _cfg("src"),
+    )
+    replicate_stream(a, b, ckpt, apply_cfg=_cfg("replica")).awaitTermination(300)
+    src = {r["conv_id"]: r["tool"] for r in a.read_final().collect()}
+    got = {r["conv_id"]: r["tool"] for r in b.read_final().collect()}
+    # cB's old value is retired WITH the field on both sides
+    assert src == {"cA": "new-a", "cB": None}
+    assert got == src
+    # the replica's re-add minted a fresh physical name of its own
+    assert b._phys_map()["tool"] != "tool"
+
+
+def test_mask_resolution_skips_pre_rename_pinned_shadow(spark, tmp_path):
+    """cdf_to_envelope fail-safe: a batch pinned BEFORE a rename
+    carries the alias name ('text') holding the RENAMED field's data;
+    a mask entry for the re-added fresh field (physical 'text__f9')
+    must NOT read it (wrong field) — the entry is skipped. A batch
+    pinned AFTER the re-add carries both names and resolves normally."""
+    from audience_behavior_semantic_etl_spark.cdc.replicate import cdf_to_envelope
+    from audience_behavior_semantic_etl_spark.cdc import schema as S
+
+    phys_to_logical = {"text": "content", "text__f9": "text",
+                       "role": "role", "conv_id": "conv_id"}
+    alias_history = {"content": ["text"]}
+
+    def _batch(cols_vals, mask):
+        pdf = pd.DataFrame([{
+            "conv_id": "c", "turn_idx": 0,
+            S.LSN_META_COL: 1, S.DELETED_META_COL: False,
+            S.SETMASK_META_COL: mask, "_commit_version": 5,
+            **cols_vals,
+        }])
+        return spark.createDataFrame(pdf)
+
+    # pre-rename pin: only 'text' (the content field's data)
+    env = cdf_to_envelope(
+        _batch({"text": "content-era-value", "role": "user"}, [["text__f9"]][0]),
+        phys_to_logical, alias_history,
+    ).collect()
+    assert json.loads(env[0]["payload"]) == {}  # skipped, not mis-keyed
+
+    # post-re-add pin: both names present; the mask resolves to the
+    # fresh field's own column
+    env = cdf_to_envelope(
+        _batch({"text": "fresh-value", "content": "content-value",
+                "role": "user"}, [["text__f9", "text"]][0]),
+        phys_to_logical, alias_history,
+    ).collect()
+    assert json.loads(env[0]["payload"]) == {
+        "text": "fresh-value", "content": "content-value"
+    }
