@@ -65,13 +65,20 @@ from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 _META = (S.LSN_META_COL, S.DELETED_META_COL, S.SETMASK_META_COL, "_commit_version")
 
 
-def _json_val(v):
+def _json_val(v, is_int: bool = False):
     if v is None or (not isinstance(v, (str, list, dict)) and pd.isna(v)):
         return None
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "item"):  # numpy scalar
-        return v.item()
+        v = v.item()
+    if is_int and isinstance(v, float):
+        # Arrow -> pandas degrades an int column to float64 when ANY
+        # row of the batch is null, so a patch on an int column would
+        # serialize 28 as 28.0 — which the target's FAILFAST int parse
+        # rejects, permanently poisoning the stream. Restore the
+        # integral type the stream schema declares.
+        return int(v)
     return v
 
 
@@ -178,6 +185,15 @@ def cdf_to_envelope(
 
     patch_src = changes.filter(is_patch)
     out_schema = bases.schema
+    from pyspark.sql import types as T
+
+    int_cols = {
+        f.name
+        for f in changes.schema.fields
+        if isinstance(
+            f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        )
+    }
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,7 +208,9 @@ def cdf_to_envelope(
                     if c is not None
                 ]
                 payloads.append(
-                    json.dumps({c: _json_val(row[c]) for c in cols})
+                    json.dumps(
+                        {c: _json_val(row[c], c in int_cols) for c in cols}
+                    )
                 )
             yield pd.DataFrame(
                 {

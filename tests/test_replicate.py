@@ -360,3 +360,32 @@ def test_mask_resolution_skips_pre_rename_pinned_shadow(spark, tmp_path):
     assert json.loads(env[0]["payload"]) == {
         "text": "fresh-value", "content": "content-value"
     }
+
+
+def test_patch_int_column_with_nulls_in_batch(spark, tmp_path):
+    """Arrow -> pandas degrades an int column to float64 when ANY row
+    of the micro-batch holds a null in it; a patch payload must still
+    serialize the value as an INT (28, not 28.0) or the replica's
+    FAILFAST parse rejects the row and poisons the stream. The batch
+    here mixes a patch ON the int column with rows where it is null."""
+    a = SnapshotTable.create(spark, str(tmp_path / "a"), n_buckets=2)
+    b = SnapshotTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    a.add_columns({"model": "int"})
+    apply_batch(
+        _sparse_env(spark, [
+            (1, "insert", {"role": "user", "text": "A", "model": 7}),
+        ]),
+        a, 0, _cfg("src"),
+    )
+    # same batch: a patch carrying model AND a patch leaving it null
+    apply_batch(
+        _sparse_env(spark, [
+            (2, "update_partial", {"model": 28}),
+            (3, "update_partial", {"text": "B"}),
+        ]),
+        a, 1, _cfg("src"),
+    )
+    q = replicate_stream(a, b, str(tmp_path / "ckpt"), apply_cfg=_cfg("replica"))
+    q.awaitTermination(300)
+    row = b.read_final().collect()[0]
+    assert (row["model"], row["text"]) == (28, "B")
