@@ -1376,6 +1376,62 @@ def q_cdc_replicate_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.read_final().select("conv_id", "turn_idx", "content")
 
 
+def q_cdc_replay_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DIVERGED BRANCH PUBLISH via table.replay_commit — the
+    escape hatch cherry_pick's schema-era guard points at. Batch 0
+    (lsn%3==0) lands on main; branch "hotfix" then RENAMES
+    text -> content (its schema era diverges) and absorbs batch 0 of a
+    second app (lsn%3==1, payload key still ``text`` — the branch's
+    rename history coalesces it into ``content``); main diverges with
+    its own batch 1 (lsn%3==2). cherry_pick of the branch data commit
+    must now be REFUSED (asserted: file-copy publish across schema eras
+    would mis-read the era's physical layout while marking the batch
+    committed — unrepairable). replay_commit instead re-derives the
+    commit's rows under the BRANCH era, re-keys the renamed field back
+    to main's name by PHYSICAL identity, and lands it through the
+    normal apply path under MAIN's era, riding the source commit's
+    exactly-once ledger delta (asserted: direct re-delivery of the
+    branch batch no-ops on main, and a duplicate replay no-ops). The
+    oracle is plain full-log LWW under main's name — it cannot tell
+    that a rename, a refused pick, or an envelope re-translation ever
+    happened."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import ApplyConfig, apply_batch
+    from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+
+    env = _cdc_envelope_v1(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc-replay-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    cfg = ApplyConfig(app_id="cdc-rp", auto_compact=False, shuffle_partitions=8)
+    bcfg = ApplyConfig(
+        app_id="cdc-rp-br", auto_compact=False, shuffle_partitions=8, branch="hotfix"
+    )
+    table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
+    third = F.pmod(F.col("lsn"), F.lit(3))
+    apply_batch(env.filter(third == 0), table, 0, cfg)
+    table.create_branch("hotfix")
+    table.rename_columns({"text": "content"}, ref="hotfix")
+    apply_batch(env.filter(third == 1), table, 0, bcfg)
+    apply_batch(env.filter(third == 2), table, 1, cfg)  # main diverges
+    picked = table.manifest(ref="hotfix").version
+    try:
+        table.cherry_pick(picked)
+        raise AssertionError("schema-era-diverged pick must be refused")
+    except ValueError:
+        pass
+    assert not table.replay_commit(picked).skipped
+    # exactly-once rode the replay: the branch app's ledger is on main
+    assert apply_batch(env.filter(third == 1), table, 0, ApplyConfig(
+        app_id="cdc-rp-br", auto_compact=False, shuffle_partitions=8)).skipped, (
+        "replayed batch's ledger must make direct re-delivery no-op")
+    assert table.replay_commit(picked).skipped, "duplicate replay must no-op"
+    # main never renamed: the replayed field landed under 'text'
+    return table.read_final().select("conv_id", "turn_idx", "text")
+
+
 def q_cdc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRANCH REFS + FAST-FORWARD PUBLISH through the real engine
     (table.create_branch / ApplyConfig(branch=...) / fast_forward —
@@ -2749,7 +2805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 5: q_cdc_replicate_rename (schema evolution THROUGH the
     # CDF/replication pipe — verdict r4 ask #7) enters the window;
     # q_ann_lsh_topk (green r1-r4; ANN stays window-covered by
-    # q_ann_ivf_refine) rotates to the tail.
+    # q_ann_ivf_refine) rotates to the tail. q_cdc_replay_commit
+    # (schema-era guard + replay escape hatch, the round-5 advice
+    # medium) also enters; q_dedup_exact (green r1-r4; dedup stays
+    # window-covered by q_dedup_near/q_dedup_clusters/q_span_dedup)
+    # rotates to the tail.
     return {
         # reference operator inventory (SURVEY.md §2)
         "q_pricing_summary": q_pricing_summary,
@@ -2777,8 +2837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_rollback": q_cdc_rollback,  # new round-4c
         "q_cdc_cherry_pick": q_cdc_cherry_pick,  # new round-4c
         "q_cdc_replicate_rename": q_cdc_replicate_rename,  # new round-5
+        "q_cdc_replay_commit": q_cdc_replay_commit,  # new round-5
         # training-data pipeline ops
-        "q_dedup_exact": q_dedup_exact,
         "q_dedup_near": q_dedup_near,
         "q_dedup_clusters": q_dedup_clusters,  # new round-4
         "q_embed_quantize": q_embed_quantize,  # new round-4
@@ -2814,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_as_of_join": q_as_of_join,
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_lsh_topk": q_ann_lsh_topk,  # r1-r4 green; rotated out r5
+        "q_dedup_exact": q_dedup_exact,  # r1-r4 green; rotated out r5
         "q_dedup_simhash": q_dedup_simhash,
         "q_embedding_dups": q_embedding_dups,
         "q_json_ingest": q_json_ingest,
@@ -3514,6 +3575,26 @@ def oracle_sql() -> dict[str, str]:
         # resolved identically to a direct apply (divergence, ledger
         # carry and idempotence pinned by in-query assertions).
         "q_cdc_cherry_pick": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+                     event_type AS text
+              FROM events)
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT t.*, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev t) u
+            WHERE rn = 1 AND is_del = 0
+        """,
+        # Schema-diverged branch publish via replay_commit: full-log
+        # LWW under main's name — green only if the branch batch was
+        # re-derived under the branch era, re-keyed by physical
+        # identity, and landed completely under main's era (refused
+        # pick, ledger carry and replay idempotence pinned by in-query
+        # assertions).
+        "q_cdc_replay_commit": """
             WITH ev AS (
               SELECT event_id AS lsn,
                      CAST(user_id AS VARCHAR) AS conv_id,
