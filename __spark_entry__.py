@@ -36,6 +36,7 @@ from audience_behavior_semantic_etl_spark.operators.windows import (
 )
 from audience_behavior_semantic_etl_spark.functions.datetime_fns import date_parts
 from audience_behavior_semantic_etl_spark.functions.math_fns import calc_percent
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir as _scratch
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -627,7 +628,7 @@ def q_cdc_incremental_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exit (same pattern as q_cdc_time_travel), so the materialized cube
     # is returned as a DISTRIBUTED frame — no O(keys) driver round-trip
     # (round-3 verdict "what's wrong" #1).
-    tmp = tempfile.mkdtemp(prefix="ivm-cube-")
+    tmp = _scratch("ivm-cube-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     # compaction disabled: a file-rewrite between refreshes would
     # legitimately force the full-refresh fallback, and this row is
@@ -722,7 +723,7 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("int").alias("schema_ver"),
         F.lit(0).cast("int").alias("source_part"),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-evo-")
+    tmp = _scratch("cdc-evo-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-evo", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -784,7 +785,7 @@ def q_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("schema_ver"),
         "source_part",
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-quar-")
+    tmp = _scratch("cdc-quar-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(
         app_id="cdc-quar",
@@ -832,7 +833,7 @@ def q_cdc_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-replay-")
+    tmp = _scratch("cdc-replay-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     wal = f"{tmp}/wal"
     # stage the WAL distributed (no driver round-trip of the log); each
@@ -877,7 +878,7 @@ def q_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-maint-")
+    tmp = _scratch("cdc-maint-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-maint", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -909,7 +910,7 @@ def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-chg-")
+    tmp = _scratch("cdc-chg-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(
         app_id="cdc-chg",
@@ -953,7 +954,7 @@ def q_cdc_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-cdf-")
+    tmp = _scratch("cdc-cdf-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(
         app_id="cdc-cdf",
@@ -1041,7 +1042,7 @@ def q_cdc_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     env = _cdc_envelope_v1(spark, sf_dir)
     tail = env.filter(F.col("lsn") > snap_lsn // 2)
-    tmp = tempfile.mkdtemp(prefix="cdc-boot-")
+    tmp = _scratch("cdc-boot-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-boot", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -1121,7 +1122,7 @@ def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("schema_ver"),
         F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("source_part"),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-part-")
+    tmp = _scratch("cdc-part-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-part", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -1151,7 +1152,7 @@ def q_cdc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-rbk-")
+    tmp = _scratch("cdc-rbk-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-rbk", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -1192,7 +1193,7 @@ def q_cdc_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-wap-")
+    tmp = _scratch("cdc-wap-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-wap", auto_compact=False, shuffle_partitions=8)
     wcfg = ApplyConfig(
@@ -1282,7 +1283,7 @@ def q_cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("schema_ver"),
         F.lit(0).cast("int").alias("source_part"),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc-ren-")
+    tmp = _scratch("cdc-ren-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-ren", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -1347,7 +1348,7 @@ def q_cdc_replicate_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_part",
         )
 
-    tmp = tempfile.mkdtemp(prefix="cdc-repl-ren-")
+    tmp = _scratch("cdc-repl-ren-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="rr-src", auto_compact=False, shuffle_partitions=8)
     rcfg = ApplyConfig(auto_compact=False, shuffle_partitions=8)
@@ -1403,7 +1404,7 @@ def q_cdc_replay_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-replay-")
+    tmp = _scratch("cdc-replay-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-rp", auto_compact=False, shuffle_partitions=8)
     bcfg = ApplyConfig(
@@ -1454,7 +1455,7 @@ def q_cdc_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-branch-")
+    tmp = _scratch("cdc-branch-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-br", auto_compact=False, shuffle_partitions=8)
     bcfg = ApplyConfig(
@@ -1497,7 +1498,7 @@ def q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-rollback-")
+    tmp = _scratch("cdc-rollback-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-rb", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)
@@ -1537,7 +1538,7 @@ def q_cdc_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-cherry-")
+    tmp = _scratch("cdc-cherry-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-cp", auto_compact=False, shuffle_partitions=8)
     bcfg = ApplyConfig(
@@ -1587,7 +1588,7 @@ def q_cdc_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _cdc_envelope_v1(spark, sf_dir)
     even = F.pmod(F.col("conv_id").cast("long"), F.lit(2)) == 0
     odd = ~even
-    tmp = tempfile.mkdtemp(prefix="cdc-fan-")
+    tmp = _scratch("cdc-fan-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = lambda app: ApplyConfig(app_id=app, auto_compact=False, shuffle_partitions=8)  # noqa: E731
     ta = SnapshotTable.create(spark, f"{tmp}/even", n_buckets=8)
@@ -1626,7 +1627,7 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-lin-")
+    tmp = _scratch("cdc-lin-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(
         app_id="cdc-lin",
@@ -2199,7 +2200,7 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="json-ingest-")
+    d = _scratch("json-ingest-")
     ev.select(
         "event_id",
         "user_id",
@@ -2353,7 +2354,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.streaming.dedup import streaming_dedup
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    srcd = tempfile.mkdtemp(prefix="stream-dedup-src-")
+    srcd = _scratch("stream-dedup-src-")
     ev.repartition(4).write.mode("overwrite").parquet(srcd)
     # stamp increasing mtimes: the file source orders arrivals by mtime
     parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
@@ -2385,7 +2386,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    srcd = tempfile.mkdtemp(prefix="stream-sess-q-")
+    srcd = _scratch("stream-sess-q-")
     ev.repartition(4).write.mode("overwrite").parquet(srcd)
     parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
     base = max(os.path.getmtime(os.path.join(srcd, p)) for p in parts)
@@ -2418,7 +2419,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("user_id"), F.lit(25)).cast("int").alias("nation_key"),
         F.col("ts"),
     )
-    srcd = tempfile.mkdtemp(prefix="stream-enrich-q-")
+    srcd = _scratch("stream-enrich-q-")
     ev.repartition(4).write.mode("overwrite").parquet(srcd)
     parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
     base = max(os.path.getmtime(os.path.join(srcd, p)) for p in parts)
@@ -2452,7 +2453,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    srcd = tempfile.mkdtemp(prefix="ss-join-q-")
+    srcd = _scratch("ss-join-q-")
     ev.repartition(4).write.mode("overwrite").parquet(srcd)
     parts = sorted(p for p in os.listdir(srcd) if p.endswith(".parquet"))
     base = max(os.path.getmtime(os.path.join(srcd, p)) for p in parts)
@@ -2490,7 +2491,7 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 
     env = _cdc_envelope_v1(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc-tt-")
+    tmp = _scratch("cdc-tt-")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     cfg = ApplyConfig(app_id="cdc-tt", auto_compact=False, shuffle_partitions=8)
     table = SnapshotTable.create(spark, f"{tmp}/t", n_buckets=8)

@@ -25,6 +25,7 @@ from audience_behavior_semantic_etl_spark.cdc.gen import (
 from audience_behavior_semantic_etl_spark.cdc.stream import run_wal_stream
 from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
 from audience_behavior_semantic_etl_spark.session import get_spark
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_name", "tool_latency_ms"]
 
@@ -46,7 +47,7 @@ def check_equal(got: pd.DataFrame, want: pd.DataFrame) -> None:
 
 def main() -> int:
     spark = get_spark(app_name="cdc-demo", cpus=8, shuffle_partitions=8)
-    work = tempfile.mkdtemp(prefix="cdc-demo-")
+    work = scratch_dir("cdc-demo-")
     try:
         cfg = GenConfig(seed=42, n_convs=200)
         log = generate_change_log(cfg)

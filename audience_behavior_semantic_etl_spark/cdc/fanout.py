@@ -42,6 +42,7 @@ from audience_behavior_semantic_etl_spark.cdc.apply import (
     apply_batch,
 )
 from audience_behavior_semantic_etl_spark.cdc.table import SnapshotTable
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 
 def apply_batch_fanout(
@@ -58,7 +59,7 @@ def apply_batch_fanout(
     spool = None
     try:
         if _needs_spool(events):
-            spool = tempfile.mkdtemp(prefix="cdc-fanout-spool-")
+            spool = scratch_dir("cdc-fanout-spool-")
             events.write.mode("overwrite").parquet(spool)
             events = spark.read.schema(S.ENVELOPE_SCHEMA).parquet(spool)
         return {

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from audience_behavior_semantic_etl_spark.cdc.schema import ENVELOPE_SCHEMA
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 BASE_EPOCH = "2025-01-01 00:00:00"
 
@@ -295,7 +296,7 @@ def write_wal_chunks_spark(log: DataFrame, wal_dir: str, n_chunks: int) -> None:
     import tempfile
     import time
 
-    staged = tempfile.mkdtemp(prefix="walgen-")
+    staged = scratch_dir("walgen-")
     (
         log.repartitionByRange(n_chunks, "stream_pos")
         .sortWithinPartitions("stream_pos")

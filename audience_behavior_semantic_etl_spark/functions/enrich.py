@@ -80,35 +80,53 @@ _UA_DEVICE = [
 _UA_COLS = ["family", "major", "minor", "patch", "os", "device"]
 
 
+def _parse_one_ua(ua) -> tuple:
+    """Parse ONE user-agent string through the regex ladder."""
+    if not isinstance(ua, str) or not ua:
+        return (None, None, None, None, None, None)
+    f = mj = mn = pt = None
+    for name, rx in _UA_BROWSERS:
+        m = rx.search(ua)
+        if m:
+            g = m.groups()
+            f, mj, mn = name, g[0], g[1]
+            pt = g[2] if len(g) > 2 else None
+            break
+    o, omj, omn = "Other", None, None
+    for name, rx in _UA_OS:
+        m = rx.search(ua)
+        if m:
+            g = m.groups()
+            o = name
+            omj = g[0] or None
+            omn = (g[1] or None) if len(g) > 1 else None
+            break
+    d = next((name for name, rx in _UA_DEVICE if rx.search(ua)), "Desktop")
+    os_struct = {
+        "family": o, "major": omj, "minor": omn,
+        "patch": None, "patch_minor": None,
+    }
+    return (f or "Other", mj, mn, pt, os_struct, {"family": d})
+
+
+# Per-worker parse memo (the reference's per-executor LRU-cached reader
+# pattern, MaxMinIpGeo.scala:69-77, applied to the UA ladder). Real
+# traffic has a heavy-tailed UA distribution — a handful of browser
+# builds dominate — so parsing each DISTINCT string once per batch and
+# dict-mapping the rest removes the regex ladder from the per-row path
+# (guide §4.5: heavyweight work once, amortized over the batch).
+_ua_cache: dict[str, tuple] = {}
+
+
 def _parse_ua_batch(s: pd.Series) -> pd.DataFrame:
     rows = []
     for ua in s:
-        if not isinstance(ua, str) or not ua:
-            rows.append((None, None, None, None, None, None))
-            continue
-        f = mj = mn = pt = None
-        for name, rx in _UA_BROWSERS:
-            m = rx.search(ua)
-            if m:
-                g = m.groups()
-                f, mj, mn = name, g[0], g[1]
-                pt = g[2] if len(g) > 2 else None
-                break
-        o, omj, omn = "Other", None, None
-        for name, rx in _UA_OS:
-            m = rx.search(ua)
-            if m:
-                g = m.groups()
-                o = name
-                omj = g[0] or None
-                omn = (g[1] or None) if len(g) > 1 else None
-                break
-        d = next((name for name, rx in _UA_DEVICE if rx.search(ua)), "Desktop")
-        os_struct = {
-            "family": o, "major": omj, "minor": omn,
-            "patch": None, "patch_minor": None,
-        }
-        rows.append((f or "Other", mj, mn, pt, os_struct, {"family": d}))
+        hit = _ua_cache.get(ua) if isinstance(ua, str) else None
+        if hit is None:
+            hit = _parse_one_ua(ua)
+            if isinstance(ua, str) and len(_ua_cache) < 100_000:
+                _ua_cache[ua] = hit
+        rows.append(hit)
     return pd.DataFrame(rows, columns=_UA_COLS)
 
 

@@ -636,13 +636,28 @@ def embedding_cosine_dups(
     baseline ONLY; the shipped scale path is
     ``embedding_cosine_dups_bucketed`` (equi-join on LSH buckets,
     no cross product)."""
-    from audience_behavior_semantic_etl_spark.operators.similarity import cosine
+    from audience_behavior_semantic_etl_spark.operators.similarity import dot, l2_norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms hoisted below the join: per row, not per pair — identical
+    # arithmetic/operand order as cosine() (similarity.brute_force_topk)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        pairs.withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 4
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -668,19 +683,35 @@ def embedding_cosine_dups_bucketed(
     it passes between them). Recall < 1 by design and deterministic:
     the SQL oracle reproduces the same planes, so the miss set is part
     of the checked contract."""
-    from audience_behavior_semantic_etl_spark.operators.similarity import cosine, lsh_bucket
+    from audience_behavior_semantic_etl_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        lsh_bucket,
+    )
 
     withb = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bkt"),
     )
-    a = withb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bkt")
-    b = withb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bkt")
+    a = withb.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("__n").alias("__na"), "bkt",
+    )
+    b = withb.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("__n").alias("__nb"), "bkt",
+    )
     return (
         a.join(b, "bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 4
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

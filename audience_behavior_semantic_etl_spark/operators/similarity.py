@@ -109,13 +109,32 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cos). Self-matches excluded.
     Ties broken by neighbor id for determinism. The queries side is
     broadcast — corpus never shuffles."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Norms are HOISTED below the join (computed once per row, not once
+    # per pair): cos = dot/(qn*cn) is the same arithmetic as cosine()
+    # evaluated in the same operand order, so results are bit-identical
+    # — but the interpreted HOF norm folds run O(|q|+|c|) times instead
+    # of O(|q|·|c|) (guide §1.2 per-task work). The join boundary keeps
+    # CollapseProject from inlining the norm back above the join.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -160,20 +179,30 @@ def lsh_topk(
     """Approximate top-k: equi-join on LSH bucket, exact re-rank within.
     Same output schema as brute_force_topk; recall depends on n_planes
     (fewer planes → bigger buckets → higher recall, more compute)."""
+    # norms hoisted below the bucket join — per row, not per candidate
+    # pair; identical arithmetic/operand order as cosine() (see
+    # brute_force_topk)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bkt"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bkt"),
     )
     scored = (
         q.join(c, "bkt")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -255,8 +284,17 @@ def ivf_assign(
     centroid table; the winner comes out of ONE partial-aggregation
     ``max_by`` keyed on the row id — the n×k score rows never shuffle.
     Ties (rounded cosine) break toward the smaller cell_id."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__cos", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    # row norm hoisted below the centroid cross join: computed once per
+    # row instead of once per (row, centroid); same arithmetic/operand
+    # order as cosine(), so assignment is bit-identical
+    withn = df.withColumn("__vn", l2_norm(F.col(vec_col)))
+    cent = centroids.withColumn("__cn", l2_norm(F.col("centroid")))
+    scored = withn.crossJoin(F.broadcast(cent)).withColumn(
+        "__cos",
+        F.round(
+            dot(F.col(vec_col), F.col("centroid")) / (F.col("__vn") * F.col("__cn")),
+            6,
+        ),
     )
     carry = [c for c in df.columns if c != id_col]
     return scored.groupBy(id_col).agg(
@@ -294,13 +332,23 @@ def ivf_topk(
         "cv",
         "neighbor_id",
     )
+    # query/corpus norms hoisted below the joins (see brute_force_topk);
+    # __qn rides the probe rows so the cell-probe scoring reuses it
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("qv")))
+    cn = c.withColumn("__cn", l2_norm(F.col("cv")))
+    cent = centroids.withColumn("__ctn", l2_norm(F.col("centroid")))
     probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("__cos", F.round(cosine(F.col("qv"), F.col("centroid")), 6))
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("qv"), F.col("centroid")) / (F.col("__qn") * F.col("__ctn")),
+                6,
+            ),
+        )
         .withColumn(
             "__pr",
             F.row_number().over(
@@ -308,13 +356,18 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "qv", "__qn", "cell_id")
     )
     scored = (
         F.broadcast(probes)
-        .join(c, "cell_id")
+        .join(cn, "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (

@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from audience_behavior_semantic_etl_spark.scratch import scratch_root
+
 # Shuffle partitions ~= cores in local mode. On a real cluster this is
 # overridden by AQE's coalescing from a higher initial value.
 _DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -59,6 +61,16 @@ def get_spark(
         # network. Overridable via extra_conf / spark-submit --conf.
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # Shuffle/spill scratch on the fastest writable medium (guide §6;
+    # same policy the BENCH scripts already apply): tmpfs locally, or
+    # $SPARK_GRAFT_LOCAL_DIR — a cluster points this at instance-local
+    # NVMe exactly as it would set spark.local.dir. The single ext4
+    # disk here throttles concurrent shuffle writers via dirty-page
+    # writeback (BENCH/BASELINE.md), so this is measured I/O placement,
+    # not a local-only trick.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or scratch_root()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

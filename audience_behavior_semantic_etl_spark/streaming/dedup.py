@@ -24,6 +24,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 
 def streaming_dedup(
@@ -54,11 +55,11 @@ def streaming_dedup(
         .dropDuplicatesWithinWatermark(key_cols)
         .drop("__evt")
     )
-    out_dir = tempfile.mkdtemp(prefix="stream-dedup-sink-")
+    out_dir = scratch_dir("stream-dedup-sink-")
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-dedup-ckpt-"))
+        .option("checkpointLocation", scratch_dir("stream-dedup-ckpt-"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -31,6 +31,7 @@ import json
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 
 def stream_stream_interval_join(
@@ -96,7 +97,7 @@ def stream_stream_interval_join(
         *[F.col(f"l_{c}") for c in extra_cols],
         *[F.col(f"r_{c}") for c in extra_cols],
     )
-    out_dir = tempfile.mkdtemp(prefix="ss-join-sink-")
+    out_dir = scratch_dir("ss-join-sink-")
     # A stream-stream join maintains FOUR state stores per shuffle
     # partition (keyToNumValues / keyWithIndexToValue x both sides),
     # and every store pays a per-batch checkpoint commit regardless of
@@ -111,7 +112,7 @@ def stream_stream_interval_join(
         q = (
             joined.writeStream.format("parquet")
             .option("path", out_dir)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ss-join-ckpt-"))
+            .option("checkpointLocation", scratch_dir("ss-join-ckpt-"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()

@@ -47,6 +47,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 from pyspark.sql.types import (
     ArrayType,
     LongType,
@@ -171,7 +172,7 @@ def streaming_sessionize(
 
     # stage source files + two flush sentinels with later mtimes (the
     # file source orders by mtime — see streaming/windowed.py)
-    srcd = tempfile.mkdtemp(prefix="stream-sess-src-")
+    srcd = scratch_dir("stream-sess-src-")
     data_files = [
         os.path.join(os.path.abspath(src_dir), fn)
         for fn in sorted(os.listdir(src_dir))
@@ -192,7 +193,7 @@ def streaming_sessionize(
                 + F.expr(f"INTERVAL {2 * gap_s + 3600 * (i + 1)} SECONDS")
             ).cast(ts_type),
         ).withColumn(key_col, F.lit(-1).cast(static.schema[key_col].dataType))
-        sdir = tempfile.mkdtemp(prefix="stream-sess-sent-")
+        sdir = scratch_dir("stream-sess-sent-")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
         part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
         dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
@@ -219,11 +220,11 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
-    out_dir = tempfile.mkdtemp(prefix="stream-sess-sink-")
+    out_dir = scratch_dir("stream-sess-sink-")
     q = (
         sessions.writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-sess-ckpt-"))
+        .option("checkpointLocation", scratch_dir("stream-sess-ckpt-"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 OUT_SCHEMA = T.StructType(
     [
@@ -64,8 +65,8 @@ def running_turn_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stateful-ckpt-")
-    out_dir = tempfile.mkdtemp(prefix="stateful-sink-")
+    ckpt = checkpoint_dir or scratch_dir("stateful-ckpt-")
+    out_dir = scratch_dir("stateful-sink-")
     q = (
         counted.writeStream.format("parquet")
         .option("path", out_dir)

@@ -34,6 +34,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from audience_behavior_semantic_etl_spark.scratch import scratch_dir
 
 
 def tumbling_window_counts(
@@ -59,7 +60,7 @@ def tumbling_window_counts(
     # stage the source: data file(s) first, then the two flush
     # sentinels with strictly later mtimes (the file source orders by
     # mtime, see module docstring)
-    srcd = tempfile.mkdtemp(prefix="stream-src-")
+    srcd = scratch_dir("stream-src-")
     data_files = (
         [os.path.abspath(src_dir)]
         if os.path.isfile(src_dir)
@@ -82,7 +83,7 @@ def tumbling_window_counts(
             )
             .withColumn(key_col, F.lit("__flush__"))
         )
-        sdir = tempfile.mkdtemp(prefix="stream-sentinel-")
+        sdir = scratch_dir("stream-sentinel-")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
         part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
         dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
@@ -108,11 +109,11 @@ def tumbling_window_counts(
             F.col("n_events"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="stream-sink-")
+    out_dir = scratch_dir("stream-sink-")
     q = (
         agg.writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-ckpt-"))
+        .option("checkpointLocation", scratch_dir("stream-ckpt-"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -170,7 +171,7 @@ def stream_static_enrich_counts(
     # real window's end precedes the advanced watermark and flushes
     flush_hours = span_s // 3600 + 3
 
-    srcd = tempfile.mkdtemp(prefix="stream-enrich-src-")
+    srcd = scratch_dir("stream-enrich-src-")
     data_files = [
         os.path.join(os.path.abspath(src_dir), fn)
         for fn in sorted(os.listdir(src_dir))
@@ -190,7 +191,7 @@ def stream_static_enrich_counts(
             )
             .withColumn(key_col, F.lit(None).cast(key_type))
         )
-        sdir = tempfile.mkdtemp(prefix="stream-enrich-sent-")
+        sdir = scratch_dir("stream-enrich-sent-")
         sent.coalesce(1).write.mode("overwrite").parquet(sdir)
         part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
         dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
@@ -217,11 +218,11 @@ def stream_static_enrich_counts(
             F.col("n_events"),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="stream-enrich-sink-")
+    out_dir = scratch_dir("stream-enrich-sink-")
     q = (
         agg.writeStream.format("parquet")
         .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream-enrich-ckpt-"))
+        .option("checkpointLocation", scratch_dir("stream-enrich-ckpt-"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
