@@ -45,6 +45,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism right after
+    a small-file scan (guide §2.5: unsplittable input → repartition
+    immediately after the read). The driver tables are single-row-group
+    parquet files, so the scan plans 1-2 input partitions regardless of
+    split config — every map-heavy stage above it (tokenize, shingle
+    md5, HOF folds, Arrow UDFs) would otherwise run on 2 of N cores.
+    One tiny shuffle of the scan output unlocks the whole executor;
+    derived from defaultParallelism, never a hard-coded local constant.
+    Row values are untouched — results are partitioning-independent."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------- flagship
 
 
@@ -336,7 +349,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score / lang-ID heuristic / md5 fingerprint (operators.text)."""
     from audience_behavior_semantic_etl_spark.operators.text import text_profile
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return text_profile(docs).select(
         "doc_id", "n_tokens", "avg_word_len", "stopword_ratio", "punct_ratio",
         "quality", "lang_pred", "fp",
@@ -360,7 +373,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard."""
     from audience_behavior_semantic_etl_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    docs = _spread(spark, _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000))
     return ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.1)
 
 
@@ -375,7 +388,8 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.dedup import span_dedup_stats
 
     return span_dedup_stats(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=8, min_count=2
+        _spread(spark, _t(spark, sf_dir, "documents")), "text", "doc_id",
+        k=8, min_count=2,
     )
 
 
@@ -388,7 +402,9 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     staged = docs.withColumn("__toks", tokens(F.col("text")))
     return staged.select(
         "doc_id", "lang", repetition_score(F.col("__toks"), 3).alias("repetition")
@@ -399,14 +415,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, n_bands=4, rows_per_band=2
+        _spread(spark, _t(spark, sf_dir, "documents")), "text", "doc_id",
+        k=3, n_bands=4, rows_per_band=2,
     )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.dedup import simhash_df
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return simhash_df(docs, "text", "doc_id", n_bits=16, out_col="simhash16")
 
 
@@ -415,7 +432,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 20 vectors as queries against the whole corpus."""
     from audience_behavior_semantic_etl_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return brute_force_topk(qs, emb, "embedding", "vec_id", k=5)
 
@@ -434,7 +451,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally numpy-property-checked (tests/test_similarity_ivf.py)."""
     from audience_behavior_semantic_etl_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(qs, emb, "embedding", "vec_id", n_cells=8, nprobe=2, k=5, iters=1)
 
@@ -448,7 +465,7 @@ def q_ann_ivf_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra Lloyd step."""
     from audience_behavior_semantic_etl_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(qs, emb, "embedding", "vec_id", n_cells=8, nprobe=2, k=5, iters=2)
 
@@ -462,7 +479,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.dedup import near_dedup_pairs
 
     return near_dedup_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        _spread(spark, _t(spark, sf_dir, "documents")), "text", "doc_id",
         k=3, n_bands=4, rows_per_band=2, threshold=0.1,
     )
 
@@ -479,7 +496,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     out = quantize_embeddings(emb, "embedding", "vec_id")
     return out.select(
         "vec_id",
@@ -503,7 +520,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.dedup import dedup_clusters
 
     return dedup_clusters(
-        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        _spread(spark, _t(spark, sf_dir, "documents")), "text", "doc_id",
         k=3, n_bands=4, rows_per_band=2, threshold=0.1,
     )
 
@@ -517,7 +534,7 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_cosine_dups_bucketed,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200))
     return embedding_cosine_dups_bucketed(
         emb, "embedding", "vec_id", dim=64, threshold=0.3, n_planes=4
     )
@@ -1913,7 +1930,7 @@ def q_enrich_useragent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(u) for u in _UA_SET]), (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int")
         ).alias("ua"),
     )
-    parsed = ev.withColumn("u", parse_user_agent_udf(F.col("ua")))
+    parsed = _spread(spark, ev).withColumn("u", parse_user_agent_udf(F.col("ua")))
     # The UDF emits the reference's NESTED UserAgent(family, major,
     # minor, patch, os{family,major,minor,patch,patch_minor},
     # device{family}) shape (UserAgentFunctions.scala:28-30); the
@@ -1951,7 +1968,7 @@ def q_enrich_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn(
         "ip", F.concat_ws(".", F.col("o1"), F.col("o2"), F.lit("0"), F.lit("1"))
     )
-    geo = ev.withColumn("g", parse_ip_udf(F.col("ip")))
+    geo = _spread(spark, ev).withColumn("g", parse_ip_udf(F.col("ip")))
     # NESTED IpLocation(country_code, country_name, region, city,
     # geo_point{lat,lon}, postal_code, continent) per
     # geoip/IpLocation.scala:28-35; the haversine reads the geo_point
@@ -2008,7 +2025,7 @@ def q_enrich_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ip", F.concat_ws(".", F.col("o1"), F.col("o2"), F.lit("0"), F.lit("1")))
     )
     enriched = (
-        ev.withColumn("u", parse_user_agent_udf(F.col("ua")))
+        _spread(spark, ev).withColumn("u", parse_user_agent_udf(F.col("ua")))
         .withColumn("g", parse_ip_udf(F.col("ip")))
         .select("event_id", "u", "g")
     )
@@ -2065,7 +2082,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the checked contract, not noise."""
     from audience_behavior_semantic_etl_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, "embedding", "vec_id",
                     dim=64, k=5, n_planes=6)
 
@@ -2513,21 +2530,59 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, not just each stage alone."""
     from audience_behavior_semantic_etl_spark.operators.dedup import near_dedup
     from audience_behavior_semantic_etl_spark.operators.text import (
-        lang_id,
-        quality_score,
-        token_count,
+        STOPWORDS,
+        punct_ratio,
+        tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    gated = (
-        docs.withColumn("q", quality_score("text"))
-        .withColumn("n_tokens", token_count("text"))
-        .filter((F.col("q") >= 0.5) & (F.col("n_tokens") >= 5))
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    kept = near_dedup(gated, "text", "doc_id", k=3, n_bands=4, rows_per_band=2, threshold=0.1)
-    return (
-        kept.withColumn("lang_pred", lang_id("text"))
-        .groupBy("lang_pred")
+    # ONE tokenizer pass (round-6 optimization, guide §1.2): the
+    # original composed quality_score + token_count + lang_id inline
+    # forms each re-ran the regex tokenizer over the text (Catalyst
+    # does not CSE duplicated expression subtrees — text_profile
+    # docstring), and the gate/dedup/agg stages re-computed the gated
+    # frame three more times. Tokens are materialized once, every gate
+    # metric derives from the SAME array with the SAME arithmetic as
+    # quality_score/token_count/lang_id (values identical — checked
+    # against the unchanged oracle), the gated frame is persisted and
+    # fed to near_dedup via ``toks_col`` so shingling reuses it too.
+    t = F.col("__toks")
+    staged = docs.withColumn("__toks", tokens(F.col("text")))
+    tc = F.size(t).cast("double")
+    length_term = F.least(tc / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio("text") * 5, F.lit(1.0))
+    total_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    wl = F.round(total_len.cast("double") / F.greatest(F.size(t), F.lit(1)), 4)
+    wl_term = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    q = F.round(length_term * 0.4 + punct_term * 0.3 + wl_term * 0.3, 4)
+    def _hits(sw: list[str]):
+        def fn(x):
+            return x.isin(sw)
+
+        return fn
+
+    scores = [
+        (lang, F.size(F.filter(t, _hits(sw)))) for lang, sw in STOPWORDS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    lang_expr = F.lit("und")
+    for lang, s in reversed(scores):
+        lang_expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(lang_expr)
+    gated = (
+        staged.withColumn("q", q)
+        .withColumn("n_tokens", F.size(t))
+        .filter((F.col("q") >= 0.5) & (F.col("n_tokens") >= 5))
+        .withColumn("lang_pred", lang_expr)
+        .persist()
+    )
+    kept = near_dedup(
+        gated, "text", "doc_id", k=3, n_bands=4, rows_per_band=2, threshold=0.1,
+        toks_col="__toks",
+    )
+    out = (
+        kept.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -2536,7 +2591,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_quality"
             ),
         )
+        .persist()
     )
+    # eager-materialize the (tiny) aggregate, then drop the row-heavy
+    # gated cache — the leak-free pattern the dedup operators use
+    out.count()
+    gated.unpersist()
+    return out
 
 
 def q_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2553,25 +2614,42 @@ def q_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    spans = span_dedup_stats(docs, "text", "doc_id", k=8, min_count=2).select(
-        "doc_id", "dup_fraction"
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
+    # ONE tokenizer pass shared by both gates (round-6 optimization):
+    # the span profile and the repetition score each re-tokenized the
+    # whole corpus; tokens are now materialized once into a persisted
+    # frame and threaded into span_dedup_stats via ``toks_col``. The
+    # raw text column is dropped — neither gate nor the rollup needs it
+    # (narrower cache, guide §2.3).
+    staged = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("__toks")
+    ).persist()
+    spans = span_dedup_stats(
+        staged, "text", "doc_id", k=8, min_count=2, toks_col="__toks"
+    ).select("doc_id", "dup_fraction")
     gated = (
-        docs.join(spans, "doc_id", "left")
-        .withColumn("__toks", tokens(F.col("text")))
+        staged.join(spans, "doc_id", "left")
         .withColumn("rep", repetition_score(F.col("__toks"), 3))
         .withColumn("span_ok", F.coalesce(F.col("dup_fraction"), F.lit(0.0)) < 0.3)
         .withColumn("rep_ok", F.col("rep") < 0.3)
     )
-    return gated.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.when(~F.col("span_ok"), 1).otherwise(0)).cast("bigint").alias("n_span_flagged"),
-        F.sum(F.when(~F.col("rep_ok"), 1).otherwise(0)).cast("bigint").alias("n_rep_flagged"),
-        F.sum(F.when(F.col("span_ok") & F.col("rep_ok"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
+    out = (
+        gated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(~F.col("span_ok"), 1).otherwise(0)).cast("bigint").alias("n_span_flagged"),
+            F.sum(F.when(~F.col("rep_ok"), 1).otherwise(0)).cast("bigint").alias("n_rep_flagged"),
+            F.sum(F.when(F.col("span_ok") & F.col("rep_ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .persist()
     )
+    out.count()  # eager-materialize the tiny rollup, drop the token cache
+    staged.unpersist()
+    return out
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2587,7 +2665,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_stats,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
     return contamination_stats(corpus, bench, "text", "doc_id").filter(
@@ -2604,7 +2684,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.curation import pack_sequences
     from audience_behavior_semantic_etl_spark.operators.text import token_count
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", token_count("text").alias("n_tok")
     )
     return pack_sequences(docs, "doc_id", "n_tok", budget=64, n_groups=8)
@@ -2649,7 +2729,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern chain — pure JVM regexp_replace projection, map-only."""
     from audience_behavior_semantic_etl_spark.operators.text import redact_pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2671,7 +2751,9 @@ def q_decontaminate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join and a low-cardinality rollup."""
     from audience_behavior_semantic_etl_spark.operators.curation import decontaminate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
     corpus = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
     kept = decontaminate(corpus, bench, "text", "doc_id", threshold=0.8)
@@ -2697,7 +2779,7 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from audience_behavior_semantic_etl_spark.operators.text import tokens
 
     docs_tok = (
-        _t(spark, sf_dir, "documents")
+        _spread(spark, _t(spark, sf_dir, "documents"))
         .select("doc_id", tokens(F.col("text")).alias("toks"))
     )
     tc = docs_tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tok"))
@@ -2743,7 +2825,9 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = _spread(
+        spark, _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     sampled = stratified_sample(
         docs, "lang", "doc_id", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
     )

@@ -54,10 +54,21 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
-def shingled(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def shingled(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3,
+    toks_col: str | None = None,
+) -> DataFrame:
     """(id, sh) with tokens materialized at a projection boundary so the
-    tokenizer runs once per row."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    tokenizer runs once per row. ``toks_col`` names an ALREADY-tokenized
+    array column (``tokens(text_col)``) to reuse — a composed pipeline
+    that has materialized tokens for other gates skips the second
+    tokenizer pass (same values in, same shingles out)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(toks_col) if toks_col is not None else tokens(F.col(text_col))).alias(
+            "toks"
+        ),
+    )
     return toks.select("id", shingles_from_tokens(F.col("toks"), k).alias("sh"))
 
 
@@ -212,14 +223,21 @@ def duplicated_spans(
 
 
 def span_dedup_stats(
-    df: DataFrame, text_col: str, id_col: str, k: int = 20, min_count: int = 2
+    df: DataFrame, text_col: str, id_col: str, k: int = 20, min_count: int = 2,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span profile over ``duplicated_spans``:
     (id, n_windows, n_dup_windows, dup_fraction). Documents shorter
     than k tokens have no windows and are excluded (the fraction is
     undefined). A curation pipeline gates on dup_fraction the same way
-    it gates on contamination."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    it gates on contamination. ``toks_col`` reuses an already-tokenized
+    array column (see ``shingled``)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(toks_col) if toks_col is not None else tokens(F.col(text_col))).alias(
+            "toks"
+        ),
+    )
     ex = toks.select(
         "id", F.posexplode(window_hashes(F.col("toks"), k)).alias("pos", "h")
     )
@@ -379,6 +397,7 @@ def near_dedup_pairs(
     n_bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """END-TO-END near-duplicate detection, the composed scale path:
     MinHash+LSH banding proposes candidate pairs (shuffle only on band
@@ -400,7 +419,7 @@ def near_dedup_pairs(
     and every row-heavy intermediate cache (shingle table, banded
     keys) is dropped before returning — no session-lifetime leak; the
     returned frame stays cached and callers may unpersist it."""
-    sh_df = shingled(df, text_col, id_col, k).persist()
+    sh_df = shingled(df, text_col, id_col, k, toks_col=toks_col).persist()
     # size filter over the PERSISTED frame reads the materialized
     # column — no re-evaluation (see lsh_candidates_from_shingled)
     caches: list = [sh_df]
@@ -564,12 +583,16 @@ def near_dedup(
     n_bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Survivor set after near-duplicate removal: greedy keep-smallest-id
     — a document is dropped iff a verified near-dup with a smaller id
     exists (deterministic, one anti-join; the standard large-corpus rule
     that avoids iterative connected components)."""
-    pairs = near_dedup_pairs(df, text_col, id_col, k, n_bands, rows_per_band, threshold)
+    pairs = near_dedup_pairs(
+        df, text_col, id_col, k, n_bands, rows_per_band, threshold,
+        toks_col=toks_col,
+    )
     dropped = pairs.select(F.col("id_b").alias("__drop_id")).distinct()
     return df.join(dropped, df[id_col] == dropped["__drop_id"], "left_anti")
 

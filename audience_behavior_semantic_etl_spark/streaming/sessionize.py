@@ -43,11 +43,16 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from datetime import timedelta
 from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from audience_behavior_semantic_etl_spark.scratch import scratch_dir
+from audience_behavior_semantic_etl_spark.streaming.sentinels import (
+    parse_interval_seconds,
+    write_sentinel,
+)
 from pyspark.sql.types import (
     ArrayType,
     LongType,
@@ -96,7 +101,10 @@ def _make_fn(gap_s: int):
         buf: list[int] = list(state.get[0]) if state.exists else []
         if not state.hasTimedOut:
             for pdf in pdfs:
-                buf.extend(int(v) for v in pdf["__evt_s"])
+                # tolist() yields Python ints from the int64 column in
+                # one C call — the per-element int(v) generator was the
+                # hottest line of the per-key kernel (guide §4.2)
+                buf.extend(pdf["__evt_s"].tolist())
         if not buf:
             state.remove()
             return
@@ -183,21 +191,37 @@ def streaming_sessionize(
     ts_type = static.schema[ts_col].dataType.simpleString()
     base_mtime = max(os.path.getmtime(os.path.join(srcd, p)) for p in os.listdir(srcd))
     # sentinel #1 pushes the watermark past every real last+gap;
-    # sentinel #2 triggers the batch whose watermark reflects #1
+    # sentinel #2 triggers the batch whose watermark reflects #1.
+    # Written driver-side when the delay is a simple interval (the
+    # default span-derived form always is) — the former limit(1)+write
+    # Spark jobs were pure per-drain overhead (streaming/sentinels.py);
+    # arbitrary interval specs fall back to the Spark expression path.
+    delay_s = parse_interval_seconds(delay)
     for i in range(2):
-        sent = static.limit(1).withColumn(
-            ts_col,
-            (
-                F.lit(hi)
-                + F.expr(f"INTERVAL {delay}")
-                + F.expr(f"INTERVAL {2 * gap_s + 3600 * (i + 1)} SECONDS")
-            ).cast(ts_type),
-        ).withColumn(key_col, F.lit(-1).cast(static.schema[key_col].dataType))
-        sdir = scratch_dir("stream-sess-sent-")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
         dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
-        os.rename(os.path.join(sdir, part), dst)
+        if delay_s is not None:
+            write_sentinel(
+                data_files,
+                dst,
+                {
+                    ts_col: hi
+                    + timedelta(seconds=delay_s + 2 * gap_s + 3600 * (i + 1)),
+                    key_col: -1,
+                },
+            )
+        else:
+            sent = static.limit(1).withColumn(
+                ts_col,
+                (
+                    F.lit(hi)
+                    + F.expr(f"INTERVAL {delay}")
+                    + F.expr(f"INTERVAL {2 * gap_s + 3600 * (i + 1)} SECONDS")
+                ).cast(ts_type),
+            ).withColumn(key_col, F.lit(-1).cast(static.schema[key_col].dataType))
+            sdir = scratch_dir("stream-sess-sent-")
+            sent.coalesce(1).write.mode("overwrite").parquet(sdir)
+            part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
+            os.rename(os.path.join(sdir, part), dst)
         t = base_mtime + 10 + i * 10
         os.utime(dst, (t, t))
 

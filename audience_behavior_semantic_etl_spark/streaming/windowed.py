@@ -32,9 +32,11 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from audience_behavior_semantic_etl_spark.scratch import scratch_dir
+from audience_behavior_semantic_etl_spark.streaming.sentinels import write_sentinel
 
 
 def tumbling_window_counts(
@@ -72,22 +74,16 @@ def tumbling_window_counts(
     )
     for i, f in enumerate(data_files):
         os.symlink(f, os.path.join(srcd, f"data-{i}.parquet"))
-    ts_type = static.schema[ts_col].dataType.simpleString()
     base_mtime = max(os.path.getmtime(os.path.join(srcd, p)) for p in os.listdir(srcd))
+    # sentinels written driver-side (streaming/sentinels.py) — the
+    # former limit(1)+write Spark jobs were pure per-drain overhead
     for i, hours in enumerate((6, 7)):
-        sent = (
-            static.limit(1)
-            .withColumn(
-                ts_col,
-                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).cast(ts_type),
-            )
-            .withColumn(key_col, F.lit("__flush__"))
-        )
-        sdir = scratch_dir("stream-sentinel-")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
         dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
-        os.rename(os.path.join(sdir, part), dst)
+        write_sentinel(
+            data_files,
+            dst,
+            {ts_col: max_ts + timedelta(hours=hours), key_col: "__flush__"},
+        )
         t = base_mtime + 10 + i * 10
         os.utime(dst, (t, t))
 
@@ -179,23 +175,16 @@ def stream_static_enrich_counts(
     ]
     for i, f in enumerate(data_files):
         os.symlink(f, os.path.join(srcd, f"data-{i}.parquet"))
-    ts_type = static.schema[ts_col].dataType.simpleString()
-    key_type = static.schema[key_col].dataType
     base_mtime = max(os.path.getmtime(os.path.join(srcd, p)) for p in os.listdir(srcd))
+    # driver-side sentinels (streaming/sentinels.py): NULL join key —
+    # survives to the watermark tracker, dropped by the label filter
     for i, hours in enumerate((flush_hours, flush_hours + 1)):
-        sent = (
-            static.limit(1)
-            .withColumn(
-                ts_col,
-                (F.lit(max_ts) + F.expr(f"INTERVAL {int(hours)} HOURS")).cast(ts_type),
-            )
-            .withColumn(key_col, F.lit(None).cast(key_type))
-        )
-        sdir = scratch_dir("stream-enrich-sent-")
-        sent.coalesce(1).write.mode("overwrite").parquet(sdir)
-        part = next(p for p in os.listdir(sdir) if p.endswith(".parquet"))
         dst = os.path.join(srcd, f"zz-sentinel-{i}.parquet")
-        os.rename(os.path.join(sdir, part), dst)
+        write_sentinel(
+            data_files,
+            dst,
+            {ts_col: max_ts + timedelta(hours=int(hours)), key_col: None},
+        )
         t = base_mtime + 10 + i * 10
         os.utime(dst, (t, t))
 
