@@ -54,8 +54,18 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     md5, HOF folds, Arrow UDFs) would otherwise run on 2 of N cores.
     One tiny shuffle of the scan output unlocks the whole executor;
     derived from defaultParallelism, never a hard-coded local constant.
-    Row values are untouched — results are partitioning-independent."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    Row values are untouched — results are partitioning-independent.
+
+    SCALE-ADAPTIVE: when the scan already plans at least one partition
+    per core (any real multi-file/multi-row-group table — i.e. every
+    production layout), this is the identity and no exchange is added;
+    a 100 TB map-only query stays map-only. The spread only fires on
+    parallelism-starved inputs, which is exactly the guide's
+    repartition-after-unsplittable-read rule."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 # ---------------------------------------------------------------- flagship

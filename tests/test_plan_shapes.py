@@ -93,7 +93,11 @@ def test_pack_sequences_one_shuffle_no_global_sort(spark):
     hash shuffle on the group key and NO single-partition/global-sort
     operator anywhere."""
     p = _plan(spark, "q_pack_sequences")
-    assert p.count("+- Exchange") == 1, "packing is one shuffle on grp"
+    # one SEMANTIC (hash) shuffle on grp; the round-6 input-spread may
+    # add a RoundRobinPartitioning exchange right above the scan on
+    # parallelism-starved inputs (identity on production layouts — see
+    # __spark_entry__._spread), which moves no keys and is allowed
+    assert p.count("Arguments: hashpartitioning") == 1, "packing is one hash shuffle on grp"
     assert "SinglePartition" not in p and "rangepartitioning" not in p
 
 
@@ -105,8 +109,11 @@ def test_stratified_sample_is_map_only(spark):
 
 
 def test_redact_pii_is_map_only(spark):
+    # map-only: no semantic shuffle (hash/range/single-partition); the
+    # input-spread round-robin exchange is allowed (identity at scale)
     p = _plan(spark, "q_redact_pii")
-    assert "Exchange" not in p
+    assert "Arguments: hashpartitioning" not in p
+    assert "rangepartitioning" not in p and "SinglePartition" not in p
 
 
 def test_training_mix_is_one_shuffle(spark):
@@ -116,7 +123,9 @@ def test_training_mix_is_one_shuffle(spark):
     import re
 
     p = _plan(spark, "q_training_mix")
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # exactly one SEMANTIC exchange (the pack shuffle, reused by the
+    # group agg); the input-spread round-robin exchange is allowed
+    assert len(re.findall(r"Arguments: hashpartitioning", p)) == 1
     assert "Expand" not in p, "countDistinct-style expand leaked back in"
 
 
