@@ -412,6 +412,50 @@ def join_pending_compaction(table: SnapshotTable) -> None:
         raise err[0]
 
 
+def _murmur3_hash_int(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of ONE IntegerType value (the
+    ``Murmur3_x86_32.hashInt`` variant, default seed 42) — the exact
+    function behind ``F.hash(int_col)`` AND ``HashPartitioning``'s
+    partition-id expression. Mirrored driver-side so slot tokens can be
+    derived with zero Spark jobs; parity is pinned by
+    ``test_murmur3_parity_with_spark_hash``."""
+    m = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix: total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+# hash-inverse token table per partition count: token[s] is a small int
+# whose Murmur3 hash lands in partition s of an n-way HashPartitioning.
+# Pure config-shaped arithmetic (no data, no results) — safe to memoize
+# process-wide; ~n*ln(n) probes to fill, microseconds for any real n.
+_SLOT_TOKENS: dict[int, list[int]] = {}
+
+
+def _slot_tokens(n: int) -> list[int]:
+    toks = _SLOT_TOKENS.get(n)
+    if toks is None:
+        found: dict[int, int] = {}
+        t = 0
+        while len(found) < n:
+            s = _murmur3_hash_int(t) % n  # Python % == Spark Pmod for n > 0
+            if s not in found:
+                found[s] = t
+            t += 1
+        _SLOT_TOKENS[n] = toks = [found[s] for s in range(n)]
+    return toks
+
+
 def _needs_spool(df: DataFrame) -> bool:
     """True when the batch is NOT file-backed — i.e. the streaming
     source's row-based ExistingRDD/LogicalRDD, which every job would
@@ -526,9 +570,13 @@ def apply_batch(
             .agg(F.sum("n").alias("n"))
             .groupBy(bucket_expr(F.col("conv_id"), n_buckets).alias("__b"))
             .agg(
+                # per-bucket row count rides the same job — it drives the
+                # deterministic write placement below (slots per bucket
+                # proportional to the bucket's share of the batch)
+                F.sum("n").alias("bn"),
                 F.collect_list(
                     F.when(F.col("n") > cfg.hot_key_threshold, F.col("conv_id"))
-                ).alias("hot")
+                ).alias("hot"),
             )
         )
         # ONE driver job for both shapes: the union collects the
@@ -549,7 +597,7 @@ def apply_batch(
                 census_agg.select(
                     F.lit("census").alias("__kind"),
                     nulls.cast("int").alias("source_part"),
-                    nulls.cast("long").alias("n"),
+                    F.col("bn").alias("n"),
                     nulls.cast("long").alias("lsn_min"),
                     nulls.cast("long").alias("lsn_max"),
                     nulls.cast("long").alias("n_sc"),
@@ -631,6 +679,7 @@ def apply_batch(
 
         affected = [int(r["__b"]) for r in census]
         hot = [c for r in census for c in r["hot"]]
+        bucket_rows = {int(r["__b"]): int(r["n"]) for r in census}
         _phase("census")
 
         data = events_raw.filter(F.col("op") != "schema_change").select(
@@ -685,17 +734,48 @@ def apply_batch(
         else:
             salt = F.lit(0)
         data = data.withColumn("__salt", salt)
-        # RANGE partition, not hash: hash(bucket, salt) over only
-        # n_buckets distinct values collides balls-in-bins style — the
-        # slowest write task carried ~3x the average and gated the
-        # stage (measured 9.7s -> 4.8s at 32 cores). Ranges over
-        # (bucket, salt, conv_id) balance by sampling AND split a hot
-        # bucket/conversation across tasks.
-        data = data.repartitionByRange(shuffle_n, "__bucket", "__salt", "conv_id").drop("__salt")
-        # The metrics node sits ABOVE the range exchange: the range
-        # partitioner's sampling pass re-executes the plan BELOW the
-        # exchange, and an observation placed there fires twice
-        # (measured n=2 for a 1-row result).
+        # DETERMINISTIC census-driven placement, ONE exchange, ZERO
+        # sampling. History: plain hash(bucket, salt) over only n_buckets
+        # distinct values collides balls-in-bins style (slowest write
+        # task ~3x the average); repartitionByRange balanced by rows but
+        # its sampling pass RE-EXECUTES the whole plan below the
+        # exchange — a full extra pass over every batch (the double-fire
+        # gotcha). The census already holds per-bucket row counts from
+        # the stats job, so the balance ranges buy is computed
+        # driver-side for free: each bucket gets slots proportional to
+        # its share of the batch (>=1), rows spread within a bucket by
+        # hash(conv_id, salt) — a hot bucket/conversation still splits
+        # across tasks, and each task holds exactly one bucket, so the
+        # partitionBy write's file granularity matches the range layout.
+        # Exact slot->partition placement with the DataFrame-level hash
+        # partitioner via precomputed hash-inverse tokens (no RDD
+        # round-trip, no sampling job).
+        total_rows = sum(bucket_rows.values()) or 1
+        bs = sorted(bucket_rows)
+        k_slots: dict[int, int] = {}
+        offs: dict[int, int] = {}
+        acc = 0
+        for b in bs:
+            k_slots[b] = max(1, round(shuffle_n * bucket_rows[b] / total_rows))
+            offs[b] = acc
+            acc += k_slots[b]
+        total_slots = acc
+        tokens = _slot_tokens(total_slots)
+        k_map = F.create_map(*[F.lit(x) for b in bs for x in (b, k_slots[b])])
+        off_map = F.create_map(*[F.lit(x) for b in bs for x in (b, offs[b])])
+        slot = F.element_at(off_map, F.col("__bucket")) + F.pmod(
+            F.hash(F.col("conv_id"), F.col("__salt")),
+            F.element_at(k_map, F.col("__bucket")),
+        )
+        # defensive: a bucket somehow absent from the census (cannot
+        # happen for non-null-key data rows) still lands in-range
+        slot = F.coalesce(slot, F.pmod(F.hash(F.col("conv_id")), F.lit(total_slots)))
+        tok = F.element_at(F.array(*[F.lit(t) for t in tokens]), slot + F.lit(1))
+        data = (
+            data.withColumn("__tok", tok)
+            .repartition(total_slots, F.col("__tok"))
+            .drop("__salt", "__tok")
+        )
         obs = Observation(f"apply-{batch_id}-{uuid.uuid4().hex[:8]}")
         data = data.observe(obs, *metric_exprs)
 

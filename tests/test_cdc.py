@@ -1478,3 +1478,37 @@ def test_wap_restage_is_idempotent(spark, tmp_path):
     # the first staging's files are orphans now
     deleted = t.gc_orphans(keep_versions=1, staging_grace_seconds=0)
     assert set(first_files) <= set(deleted)
+
+
+def test_murmur3_parity_with_spark_hash(spark):
+    """The driver-side Murmur3 mirror must equal F.hash (seed 42) on
+    IntegerType — the exactness of the census-driven write placement
+    (apply's slot tokens) rests on this."""
+    from pyspark.sql import functions as F
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import _murmur3_hash_int
+
+    rows = (
+        spark.range(0, 256)
+        .select(F.col("id").cast("int").alias("t"), F.hash(F.col("id").cast("int")).alias("h"))
+        .collect()
+    )
+    assert all(r["h"] == _murmur3_hash_int(r["t"]) for r in rows)
+
+
+def test_slot_tokens_exact_placement(spark):
+    """Each slot token must land in exactly its own partition under the
+    DataFrame hash partitioner — zero collisions, zero empty slots —
+    so apply's write placement is deterministic without a sampling
+    pass (the repartitionByRange double-fire this replaced)."""
+    from pyspark.sql import functions as F
+
+    from audience_behavior_semantic_etl_spark.cdc.apply import _slot_tokens
+
+    for n in (3, 8, 32):
+        toks = _slot_tokens(n)
+        df = spark.createDataFrame([(s, toks[s]) for s in range(n)], "slot int, tok int")
+        got = df.repartition(n, F.col("tok")).select(
+            "slot", F.spark_partition_id().alias("pid")
+        ).collect()
+        assert all(r["slot"] == r["pid"] for r in got)
