@@ -96,8 +96,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 aggregate vocabulary (TPC-H Q1 shape)."""
-    li = _t(spark, sf_dir, "lineitem")
+    """A1/A2 aggregate vocabulary (TPC-H Q1 shape).
+
+    _spread: the five decimal partial aggregates otherwise run on the
+    scan's 1-2 tasks (single-row-group input); shuffling the six pruned
+    columns first costs less than serial decimal accumulation (measured
+    6.2 -> 4.3 s at the 10x replica; identity on any multi-row-group
+    layout). The shipdate filter still pushes past the exchange to the
+    scan (PushDownPredicate crosses RepartitionByExpression)."""
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
     filtered = filter_rows(li, F.col("l_shipdate") <= F.lit("1998-09-02"))
     return aggregate_columns(
         filtered,
@@ -1731,8 +1738,12 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (free in modern Spark; absent in the reference, SURVEY §2.5)."""
-    orders = _t(spark, sf_dir, "orders")
+    """ROLLUP (free in modern Spark; absent in the reference, SURVEY §2.5).
+
+    _spread: rollup's Expand triples the rows BEFORE the partial
+    aggregate, so a parallelism-starved scan pays 3x serial agg work —
+    spread the three pruned columns first (identity on real layouts)."""
+    orders = _spread(spark, _t(spark, sf_dir, "orders"))
     return (
         orders.withColumn("yr", F.year("o_orderdate"))
         .rollup("yr", "o_orderpriority")
@@ -2062,7 +2073,10 @@ def q_metric_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point and applied in dependency order."""
     from audience_behavior_semantic_etl_spark.operators.metrics import add_metric_layers
 
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread: three layered metric projections + three decimal sums on
+    # a single-row-group scan ran on 1-2 cores (12.4 s at the 10x
+    # replica); the exchange ships only the four pruned source columns
+    li = _spread(spark, _t(spark, sf_dir, "lineitem"))
     out = add_metric_layers(
         li,
         {
@@ -2228,7 +2242,12 @@ def q_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     d = _scratch("json-ingest-")
-    ev.select(
+    # _spread before the gzip dump: gzip is UNSPLITTABLE (guide §2.5's
+    # canonical case), so a single-task write would serialize BOTH
+    # sides — one core gzip-encoding the dump AND one core parsing it
+    # back. Spreading first writes N gzip members, and the read-back
+    # parses file-per-task. Result is agg-invariant to file count.
+    _spread(spark, ev).select(
         "event_id",
         "user_id",
         "event_type",

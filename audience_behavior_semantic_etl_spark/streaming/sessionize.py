@@ -108,6 +108,23 @@ def _make_fn(gap_s: int):
         if not buf:
             state.remove()
             return
+        wm_now = state.getCurrentWatermarkMs()
+        mn = min(buf)
+        if (mn + gap_s) * 1000 >= wm_now:
+            # FAST PATH: the earliest possible session end is min(buf),
+            # so nothing can close yet — the common case for every
+            # mid-stream batch (the watermark trails the open horizon).
+            # Skip the sort + gap-split entirely; the buffer is stored
+            # as-appended (every slow-path evaluation sorts before
+            # splitting, so order in state is free) and the timeout is
+            # set to the earliest instant anything COULD close
+            # ((min+gap), conservative: a spurious wake re-checks and
+            # lands back here or in the slow path — never early/late
+            # emission). Cuts the per-key Python work of a buffering
+            # batch from O(buffer) sort+scan to two C-speed passes.
+            state.update((buf,))
+            state.setTimeoutTimestamp(max((mn + gap_s) * 1000, wm_now + 1))
+            return
         buf.sort()
         # STRICT millisecond compare: Spark's late-row filter admits rows
         # with event time == watermark, so an event arriving at exactly
