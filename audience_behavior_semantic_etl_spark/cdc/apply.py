@@ -750,6 +750,12 @@ def apply_batch(
         # Exact slot->partition placement with the DataFrame-level hash
         # partitioner via precomputed hash-inverse tokens (no RDD
         # round-trip, no sampling job).
+        # A batch whose census is EMPTY (DDL-only, or every data row
+        # null-key-quarantined) still runs the write job on the empty
+        # `data` frame — give it one slot instead of a zero-partition
+        # repartition (caught by test_canonicalization_follows_renamed_text).
+        if not bucket_rows:
+            bucket_rows = {0: 1}
         total_rows = sum(bucket_rows.values()) or 1
         bs = sorted(bucket_rows)
         k_slots: dict[int, int] = {}
