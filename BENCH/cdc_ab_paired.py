@@ -1,6 +1,8 @@
 """Paired in-session A/B of the apply_batch spool policy: each query
-runs alternating asis/spool passes in ONE session (host drift hits both
-arms), min-of-N per arm reported.
+runs ABBA/BAAB-alternated asis/spool passes in ONE session (host drift
+hits both arms AND neither arm always runs first — fixed-order pairs
+measured a ~1 s bias toward the second arm on this host), min-of-N per
+arm reported.
 
 Usage: SPARK_GRAFT_SF_DIR=... python BENCH/cdc_ab_paired.py N q1 q2 ...
 """
@@ -32,8 +34,9 @@ def main() -> int:
     out = {}
     for n in names:
         t = {"asis": [], "spool": []}
-        for _ in range(pairs):
-            for mode in ("asis", "spool"):
+        for p in range(pairs):
+            order = ("asis", "spool") if p % 2 == 0 else ("spool", "asis")
+            for mode in order:
                 A._needs_spool = real if mode == "asis" else (lambda df: True)
                 t0 = time.perf_counter()
                 qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
